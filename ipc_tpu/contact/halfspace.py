@@ -1,0 +1,207 @@
+"""Analytic half-space (ground/wall) collision object.
+
+TPU-native equivalent of the reference's HalfSpace<3>
+(reference: src/CollisionObject/HalfSpace.hpp/.cpp, base interface
+src/CollisionObject/CollisionObject.h:28-473):
+
+* the contact "constraint value" is the SQUARED signed distance
+  d = (n.x + D)^2 (HalfSpace.cpp:106-111), fed to the same barrier as mesh
+  contacts;
+* barrier gradient per active vertex: kappa * g_b(d) * 2 dist * n;
+* barrier Hessian per active vertex: kappa * (4 H_b d + 2 g_b) n n^T, only
+  added when the scalar is positive — the half-space SPD projection
+  (HalfSpace.cpp:180-240);
+* largest feasible step per surface vertex moving toward the plane:
+  alpha <= slackness * (-dist / (n.p)) (HalfSpace.cpp:242-271);
+* lagged friction on the plane's tangent basis (HalfSpace.cpp:272-415).
+
+The active set is a fixed-shape boolean mask over surface vertices — no
+dynamic lists.
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ipc_tpu.ops.barrier import barrier, barrier_grad, barrier_hess
+from ipc_tpu.ops.friction import f0_sf, f1_sf_over_x
+
+__all__ = ["HalfSpaceParams", "HalfSpace"]
+
+
+@dataclass(frozen=True)
+class HalfSpaceParams:
+    """Static plane parameters (host floats / tuples; not traced)."""
+
+    origin: tuple = (0.0, 0.0, 0.0)
+    normal: tuple = (0.0, 1.0, 0.0)
+    friction: float = 0.0
+
+    @property
+    def D(self):
+        import numpy as np
+
+        n = np.asarray(self.normal, dtype=float)
+        n = n / np.linalg.norm(n)
+        return -float(n @ np.asarray(self.origin, dtype=float))
+
+    @property
+    def unit_normal(self):
+        import numpy as np
+
+        n = np.asarray(self.normal, dtype=float)
+        return tuple(n / np.linalg.norm(n))
+
+    def tangent_basis(self):
+        """A fixed orthonormal basis of the plane (host-side)."""
+        import numpy as np
+
+        n = np.asarray(self.unit_normal)
+        a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        t0 = np.cross(n, a)
+        t0 /= np.linalg.norm(t0)
+        t1 = np.cross(n, t0)
+        return np.stack([t0, t1], axis=1)  # (3,2)
+
+
+class HalfSpace:
+    """Stateless device functions bound to one plane's parameters."""
+
+    def __init__(self, params: HalfSpaceParams):
+        self.params = params
+        import numpy as np
+
+        self._n = np.asarray(params.unit_normal)
+        self._D = params.D
+        self._basis = params.tangent_basis()
+
+    # -- geometry ----------------------------------------------------------
+
+    def signed_dist(self, x_sv):
+        """(Sv,) signed distances of surface-vertex positions (Sv,3)."""
+        n = jnp.asarray(self._n, x_sv.dtype)
+        return x_sv @ n + jnp.asarray(self._D, x_sv.dtype)
+
+    def dist2(self, x_sv):
+        d = self.signed_dist(x_sv)
+        return d * d
+
+    def active_mask(self, x_sv, dHat):
+        """Active set: surface vertices with d^2 < dHat (reference
+        CollisionObject::computeConstraintSet)."""
+        return self.dist2(x_sv) < dHat
+
+    # -- barrier energy / derivatives -------------------------------------
+
+    def energy(self, x_sv, mask, kappa, dHat):
+        d2 = self.dist2(x_sv)
+        return kappa * jnp.where(mask, barrier(d2, dHat), 0.0).sum()
+
+    def grad_sv(self, x_sv, mask, kappa, dHat):
+        """(Sv,3) gradient w.r.t. the surface-vertex positions."""
+        n = jnp.asarray(self._n, x_sv.dtype)
+        dist = self.signed_dist(x_sv)
+        d2 = dist * dist
+        g_b = barrier_grad(d2, dHat)
+        coef = jnp.where(mask, kappa * g_b * 2.0 * dist, 0.0)
+        return coef[:, None] * n[None, :]
+
+    def hess_blocks_sv(self, x_sv, mask, kappa, dHat):
+        """(Sv,3,3) SPD per-vertex Hessian blocks (zero where inactive)."""
+        n = jnp.asarray(self._n, x_sv.dtype)
+        dist = self.signed_dist(x_sv)
+        d2 = dist * dist
+        g_b = barrier_grad(d2, dHat)
+        H_b = barrier_hess(d2, dHat)
+        param = 4.0 * H_b * d2 + 2.0 * g_b
+        param = jnp.where(mask & (param > 0.0), kappa * param, 0.0)
+        nnT = jnp.outer(n, n)
+        return param[:, None, None] * nnT[None, :, :]
+
+    # -- feasible step -----------------------------------------------------
+
+    def largest_feasible_step(self, x_sv, p_sv, dbc_sv, slackness=0.9):
+        """min over surface verts of slackness * (-dist / (n.p)) for verts
+        moving toward the plane; DBC verts skipped (HalfSpace.cpp:242-271)."""
+        n = jnp.asarray(self._n, x_sv.dtype)
+        coef = p_sv @ n
+        dist = self.signed_dist(x_sv)
+        moving_in = (coef < 0.0) & (~dbc_sv)
+        alpha = jnp.where(
+            moving_in, -dist / jnp.where(moving_in, coef, -1.0) * slackness, jnp.inf
+        )
+        return alpha.min()
+
+    # -- lagged friction ---------------------------------------------------
+
+    def friction_lambda(self, x_sv, mask, kappa, dHat):
+        """Lagged multipliers lambda = -kappa * 2 sqrt(d2) * g_b(d2) >= 0
+        captured at the previous outer iterate (Optimizer.cpp:1552-1605)."""
+        d2 = self.dist2(x_sv)
+        lam = -kappa * 2.0 * jnp.sqrt(jnp.maximum(d2, 0.0)) * barrier_grad(d2, dHat)
+        return jnp.where(mask, lam, 0.0)
+
+    def friction_energy(self, x_sv, xt_sv, lam, eps2):
+        """mu * sum lam_k f0(|tangential rel dx|), smooth band eps2 = fricDHat
+        (HalfSpace.cpp:272-330 + FrictionUtils f0)."""
+        mu = self.params.friction
+        if mu == 0.0:
+            return jnp.asarray(0.0, x_sv.dtype)
+        B = jnp.asarray(self._basis, x_sv.dtype)
+        eps = jnp.sqrt(eps2)
+        u = (x_sv - xt_sv) @ B  # (Sv,2) tangential displacement
+        u2 = jnp.sum(u * u, axis=1)
+        f0 = jnp.where(u2 > eps2, jnp.sqrt(jnp.maximum(u2, eps2)), f0_sf(u2, eps))
+        return mu * jnp.sum(lam * f0)
+
+    def friction_grad_sv(self, x_sv, xt_sv, lam, eps2):
+        mu = self.params.friction
+        if mu == 0.0:
+            return jnp.zeros_like(x_sv)
+        B = jnp.asarray(self._basis, x_sv.dtype)
+        eps = jnp.sqrt(eps2)
+        u = (x_sv - xt_sv) @ B
+        u2 = jnp.sum(u * u, axis=1)
+        slip = u2 > eps2
+        scale = jnp.where(
+            slip,
+            1.0 / jnp.sqrt(jnp.maximum(u2, eps2)),
+            f1_sf_over_x(u2, eps),
+        )
+        force_t = (mu * lam * scale)[:, None] * u  # (Sv,2)
+        return force_t @ B.T
+
+    def friction_hess_blocks_sv(self, x_sv, xt_sv, lam, eps2, project=True):
+        """(Sv,3,3) analytic friction Hessian blocks.
+
+        In the tangent plane: H_t = a I + c u u^T with
+          stick (|u| <= eps): a = f1/|u| = (2 eps - |u|)/eps^2,
+                              c = (f2 - a)/|u|^2  -> 0 as u -> 0
+          slip  (|u| >  eps): a = 1/|u|, c = -a/|u|^2 (Hessian of |u|)
+        Both branches are PSD by construction (eigenvalues {a + c u2, a}
+        >= 0), mirroring the PSD-safe blocks the reference assembles in
+        HalfSpace::augmentFrictionHessian (HalfSpace.cpp:331-415). Lifted to
+        3x3 via the fixed plane basis: H = B H_t B^T.
+        """
+        mu = self.params.friction
+        if mu == 0.0:
+            return jnp.zeros((x_sv.shape[0], 3, 3), x_sv.dtype)
+        B = jnp.asarray(self._basis, x_sv.dtype)
+        eps = jnp.sqrt(eps2)
+        u = (x_sv - xt_sv) @ B  # (Sv,2)
+        u2 = jnp.sum(u * u, axis=1)
+        un = jnp.sqrt(jnp.maximum(u2, 0.0))
+        slip = u2 > eps2
+        tiny = jnp.asarray(1e-300 if x_sv.dtype == jnp.float64 else 1e-30, x_sv.dtype)
+        inv_un = 1.0 / jnp.maximum(un, tiny)
+        a = jnp.where(slip, inv_un, (2.0 * eps - un) / eps2)
+        f2 = jnp.where(slip, 0.0, 2.0 * (eps - un) / eps2)
+        c = jnp.where(u2 > tiny, (f2 - a) / jnp.maximum(u2, tiny), 0.0)
+        coef = mu * lam
+        I2 = jnp.eye(2, dtype=x_sv.dtype)
+        Ht = (coef * a)[:, None, None] * I2[None] + (coef * c)[:, None, None] * (
+            u[:, :, None] * u[:, None, :]
+        )
+        return jnp.einsum("ij,vjk,lk->vil", B, Ht, B, precision=jax.lax.Precision.HIGHEST)
