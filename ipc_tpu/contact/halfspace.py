@@ -95,20 +95,21 @@ class HalfSpace:
 
     # -- barrier energy / derivatives -------------------------------------
 
-    def energy(self, x_sv, mask, kappa, dHat):
+    def energy(self, x_sv, kappa, dHat):
         d2 = self.dist2(x_sv)
-        return kappa * jnp.where(mask, barrier(d2, dHat), 0.0).sum()
+        return kappa * barrier(d2, dHat).sum()
 
-    def grad_sv(self, x_sv, mask, kappa, dHat):
-        """(Sv,3) gradient w.r.t. the surface-vertex positions."""
+    def grad_sv(self, x_sv, kappa, dHat):
+        """(Sv,3) gradient w.r.t. the surface-vertex positions (barrier_grad
+        is exactly zero beyond dHat, so no explicit active mask is needed)."""
         n = jnp.asarray(self._n, x_sv.dtype)
         dist = self.signed_dist(x_sv)
         d2 = dist * dist
         g_b = barrier_grad(d2, dHat)
-        coef = jnp.where(mask, kappa * g_b * 2.0 * dist, 0.0)
+        coef = kappa * g_b * 2.0 * dist
         return coef[:, None] * n[None, :]
 
-    def hess_blocks_sv(self, x_sv, mask, kappa, dHat):
+    def hess_blocks_sv(self, x_sv, kappa, dHat):
         """(Sv,3,3) SPD per-vertex Hessian blocks (zero where inactive)."""
         n = jnp.asarray(self._n, x_sv.dtype)
         dist = self.signed_dist(x_sv)
@@ -116,7 +117,7 @@ class HalfSpace:
         g_b = barrier_grad(d2, dHat)
         H_b = barrier_hess(d2, dHat)
         param = 4.0 * H_b * d2 + 2.0 * g_b
-        param = jnp.where(mask & (param > 0.0), kappa * param, 0.0)
+        param = jnp.where(param > 0.0, kappa * param, 0.0)
         nnT = jnp.outer(n, n)
         return param[:, None, None] * nnT[None, :, :]
 

@@ -1,0 +1,198 @@
+"""Self-contact pipeline: broad phase -> candidates -> barrier/friction/CCD.
+
+The integration layer binding contact.broadphase / contact.selfcollision /
+contact.ccd / contact.intersection into the shape the time stepper consumes
+— the TPU-native analog of the reference's per-step orchestration of
+SpatialHash + SelfCollisionHandler (reference: Optimizer::computeConstraintSets
+:2447-2498, solveSub_IP CCD block :1885-2040, lineSearch safeguards
+:2709-2811).
+
+Capacity management: candidate tensors have static capacities; every build
+returns the true count, and `ensure_caps` grows capacities (x1.5 + headroom)
+and lets jit re-trace — the fixed-shape analog of dynamic candidate lists.
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ipc_tpu.contact import broadphase as BP
+from ipc_tpu.contact import selfcollision as SC
+from ipc_tpu.contact.ccd import accd_ee, accd_pt
+from ipc_tpu.contact.intersection import any_edge_tri_intersection
+from ipc_tpu.ops.distance import eps_x_ee
+
+__all__ = ["Candidates", "SelfContact"]
+
+
+@dataclass(frozen=True)
+class Candidates:
+    """Fixed-shape candidate tensors for one Newton iteration (pytree)."""
+
+    pt_vids: Any  # (Cpt,4) int32 stencils (p,t0,t1,t2), pads -> 0
+    pt_valid: Any  # (Cpt,) bool
+    ee_vids: Any  # (Cee,4) int32 stencils (a0,a1,b0,b1)
+    ee_valid: Any  # (Cee,) bool
+    ee_eps_x: Any  # (Cee,) mollifier thresholds (rest-shape)
+    pt_count: Any  # true counts (int32) for overflow detection
+    ee_count: Any
+
+
+jax.tree_util.register_dataclass(
+    Candidates,
+    data_fields=[
+        "pt_vids",
+        "pt_valid",
+        "ee_vids",
+        "ee_valid",
+        "ee_eps_x",
+        "pt_count",
+        "ee_count",
+    ],
+    meta_fields=[],
+)
+
+
+class SelfContact:
+    """Per-scene self-contact handler with capacity management."""
+
+    def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None):
+        self.mesh = mesh
+        self.meta = meta
+        self.friction = friction
+        nS = int(mesh.surf_tris.shape[0])
+        nE = int(mesh.surf_edges.shape[0])
+        nV = int(mesh.surf_verts.shape[0])
+        # generous initial caps; grown on overflow
+        self.cap_pt = int(cap_pt or max(64, 8 * nV))
+        self.cap_ee = int(cap_ee or max(64, 8 * nE))
+        self.cap_et = int(cap_et or max(64, 8 * nE))
+        self._eps_x_table = None  # filled lazily per ee candidate build
+
+    # -- candidate construction -------------------------------------------
+
+    def build_candidates(self, x, disp=None, gap=None):
+        """Broad phase + stencil assembly. gap defaults to sqrt(dHat) set by
+        the caller; disp sweeps the AABBs for CCD-covering candidate sets."""
+        mesh = self.mesh
+        pt_pairs, pt_count = BP.pt_candidates(
+            x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, self.cap_pt, disp, gap
+        )
+        ee_pairs, ee_count = BP.ee_candidates(
+            x, mesh.surf_edges, mesh.dbc_mask, self.cap_ee, disp, gap
+        )
+        pt_valid = pt_pairs[:, 0] >= 0
+        ee_valid = ee_pairs[:, 0] >= 0
+        svI = jnp.maximum(pt_pairs[:, 0], 0)
+        sfI = jnp.maximum(pt_pairs[:, 1], 0)
+        pt_vids = jnp.concatenate(
+            [mesh.surf_verts[svI][:, None], mesh.surf_tris[sfI]], axis=1
+        )
+        eI = jnp.maximum(ee_pairs[:, 0], 0)
+        eJ = jnp.maximum(ee_pairs[:, 1], 0)
+        ee_vids = jnp.concatenate([mesh.surf_edges[eI], mesh.surf_edges[eJ]], axis=1)
+        xr = mesh.x_rest
+        ee_eps_x = jax.vmap(eps_x_ee)(
+            xr[ee_vids[:, 0]], xr[ee_vids[:, 1]], xr[ee_vids[:, 2]], xr[ee_vids[:, 3]]
+        )
+        return Candidates(
+            pt_vids=pt_vids,
+            pt_valid=pt_valid,
+            ee_vids=ee_vids,
+            ee_valid=ee_valid,
+            ee_eps_x=ee_eps_x,
+            pt_count=pt_count,
+            ee_count=ee_count,
+        )
+
+    def ensure_caps(self, cand: Candidates):
+        """Host-side overflow check; returns True if caps grew (re-trace)."""
+        grew = False
+        pt_count = int(cand.pt_count)
+        ee_count = int(cand.ee_count)
+        if pt_count > self.cap_pt:
+            self.cap_pt = int(pt_count * 1.5) + 64
+            grew = True
+        if ee_count > self.cap_ee:
+            self.cap_ee = int(ee_count * 1.5) + 64
+            grew = True
+        return grew
+
+    # -- energy/derivatives (thin wrappers over selfcollision) -------------
+
+    def energy(self, x, cand: Candidates, kappa, dHat):
+        return SC.barrier_energy(
+            x, cand.pt_vids, cand.pt_valid, cand.ee_vids, cand.ee_valid,
+            cand.ee_eps_x, kappa, dHat,
+        )
+
+    def gradient(self, x, cand: Candidates, kappa, dHat):
+        return SC.barrier_gradient(
+            x, cand.pt_vids, cand.pt_valid, cand.ee_vids, cand.ee_valid,
+            cand.ee_eps_x, kappa, dHat,
+        )
+
+    def hessian_blocks(self, x, cand: Candidates, kappa, dHat, project=True):
+        return SC.barrier_hessian_blocks(
+            x, cand.pt_vids, cand.pt_valid, cand.ee_vids, cand.ee_valid,
+            cand.ee_eps_x, kappa, dHat, project,
+        )
+
+    def capture_friction(self, x, cand: Candidates, kappa, dHat):
+        return SC.capture_friction(
+            x, cand.pt_vids, cand.pt_valid, cand.ee_vids, cand.ee_valid,
+            cand.ee_eps_x, kappa, dHat,
+        )
+
+    def n_active(self, x, cand: Candidates, dHat):
+        """Number of candidates currently inside dHat (collision-pair stats,
+        reference outputCollStats Optimizer.cpp:3070-3087)."""
+        from ipc_tpu.ops import distance as D
+
+        def d_pt(x4):
+            ct, xs = SC.pt_reduce(x4)
+            return D.stencil_dist2(ct, xs)
+
+        def d_ee(x4):
+            ct, xs = SC.ee_reduce(x4)
+            return D.stencil_dist2(ct, xs)
+
+        dpt = jax.vmap(d_pt)(x[cand.pt_vids])
+        dee = jax.vmap(d_ee)(x[cand.ee_vids])
+        return (
+            jnp.sum(cand.pt_valid & (dpt < dHat)) + jnp.sum(cand.ee_valid & (dee < dHat))
+        ).astype(jnp.int32)
+
+    # -- CCD ----------------------------------------------------------------
+
+    def ccd_alpha(self, x, dx, cand: Candidates, gap_frac=0.2, max_iter=64):
+        """Min ACCD step over candidate stencils (candidates must have been
+        built with the sweep covering dx)."""
+        a_pt = jax.vmap(accd_pt, in_axes=(0, 0, None, None))(
+            x[cand.pt_vids], dx[cand.pt_vids], gap_frac, max_iter
+        )
+        a_ee = jax.vmap(accd_ee, in_axes=(0, 0, None, None))(
+            x[cand.ee_vids], dx[cand.ee_vids], gap_frac, max_iter
+        )
+        a = jnp.minimum(
+            jnp.where(cand.pt_valid, a_pt, jnp.inf).min(),
+            jnp.where(cand.ee_valid, a_ee, jnp.inf).min(),
+        )
+        return jnp.minimum(a, 1.0)
+
+    # -- intersection failsafe ---------------------------------------------
+
+    def has_intersection(self, x):
+        mesh = self.mesh
+        pairs, count = BP.et_candidates(
+            x, mesh.surf_edges, mesh.surf_tris, self.cap_et
+        )
+        valid = pairs[:, 0] >= 0
+        hit = any_edge_tri_intersection(
+            x, mesh.surf_edges, mesh.surf_tris, pairs, valid
+        )
+        return hit, count

@@ -156,6 +156,7 @@ def build_mesh(
     rest_inv = np.linalg.inv(D)
     vol = det / 6.0
 
+    density = np.broadcast_to(np.asarray(density, dtype=np.float64), (nT,))
     mass = np.zeros(nV)
     np.add.at(mass, T.reshape(-1), np.repeat(vol * density / 4.0, 4))
 

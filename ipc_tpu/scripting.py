@@ -1,0 +1,308 @@
+"""Scripted boundary conditions and kinematic motion.
+
+The TPU-native replacement for the reference's AnimScripter<3>
+(reference: src/AnimScripter.hpp:22-93 script enum, initAnimScript
+src/AnimScripter.cpp:114-1314, initVelocity :1315-1397, stepAnimScript
+:1398-2276): declarative Dirichlet/Neumann boundary conditions with
+time-range-gated linear+angular scripted motion, per-component initial
+velocities, and a registry of named scenario scripts.
+
+Host-side: all selection happens once at scene build (numpy); per-step the
+script produces a dense (V,3) target displacement for DBC vertices (zero
+elsewhere) that the stepper applies before the implicit solve — the analog
+of the reference building `searchDir` for the scripted motion
+(AnimScripter.cpp:1412-2149).
+
+Named scripts implemented (the ones the tutorial/paper scenes use most):
+null, drop, fall, leftHitRight, XYRotate (initial-velocity scripts);
+hang, stand, topBottomFix, fixLowerHalf (static DBC selections);
+twist, bend, twistnstretch, stretch, squash, stretchnsquash (handle-driven
+moving DBC, reference :529-700, :1640-1750). Unknown names fall back to
+null with a warning, so unported scenes still load.
+"""
+
+import math
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["DBCGroup", "NBCGroup", "Script", "build_script"]
+
+
+@dataclass
+class DBCGroup:
+    verts: np.ndarray  # int indices
+    linear_vel: np.ndarray = None  # (3,)
+    angular_vel: np.ndarray = None  # (3,) rad/s, XYZ Euler rates
+    time_range: tuple = (0.0, math.inf)
+    rot_center: str = "group_bbox"  # or fixed (3,) array
+
+
+@dataclass
+class NBCGroup:
+    verts: np.ndarray
+    force: np.ndarray  # (3,) per-mass force (acceleration units)
+    time_range: tuple = (0.0, math.inf)
+
+
+@dataclass
+class HandleMotion:
+    """Per-vertex angular motion about a fixed center (twist/bend family)."""
+
+    verts: np.ndarray
+    ang_vel: float  # rad/s (signed)
+    axis: np.ndarray  # (3,)
+    center: np.ndarray  # (3,)
+    lin_vel: np.ndarray = None
+
+
+@dataclass
+class Script:
+    """Bound script: DBC/NBC groups + handle motions for one scene."""
+
+    n_verts: int
+    dbc_groups: list = field(default_factory=list)
+    nbc_groups: list = field(default_factory=list)
+    handles: list = field(default_factory=list)
+    init_velocity_fn: object = None  # (V,3) -> (V,3)
+    dbc_time_range: tuple = (0.0, math.inf)
+    nbc_time_range: tuple = (0.0, math.inf)
+
+    def dbc_mask(self):
+        m = np.zeros(self.n_verts, dtype=bool)
+        for g in self.dbc_groups:
+            m[g.verts] = True
+        for h in self.handles:
+            m[h.verts] = True
+        return m
+
+    def initial_velocity(self, V):
+        v = np.zeros_like(V)
+        if self.init_velocity_fn is not None:
+            v = self.init_velocity_fn(np.asarray(V))
+        return v
+
+    def has_motion(self):
+        if self.handles:
+            return True
+        return any(
+            (g.linear_vel is not None and np.any(g.linear_vel != 0))
+            or (g.angular_vel is not None and np.any(g.angular_vel != 0))
+            for g in self.dbc_groups
+        )
+
+    def step_displacement(self, x, t, dt):
+        """(V,3) scripted displacement over [t, t+dt] (zero off-DBC).
+
+        Mirrors stepAnimScript's searchDir construction: per DBC group a
+        rigid motion R(x-c)+c + v dt - x gated by its time range
+        (AnimScripter.cpp:1440-1470); per handle an axis-angle rotation
+        about a fixed center (:1674-1684).
+        """
+        disp = np.zeros_like(x)
+        lo, hi = self.dbc_time_range
+        in_global = (t >= lo) and (t < hi)
+        for g in self.dbc_groups:
+            if not (in_global and g.time_range[0] <= t < g.time_range[1]):
+                continue
+            idx = g.verts
+            d = np.zeros((len(idx), 3))
+            if g.angular_vel is not None and np.any(g.angular_vel != 0):
+                R = _euler_xyz(g.angular_vel * dt)
+                c = 0.5 * (x[idx].min(axis=0) + x[idx].max(axis=0))
+                d += (x[idx] - c) @ R.T + c - x[idx]
+            if g.linear_vel is not None:
+                d += g.linear_vel[None, :] * dt
+            disp[idx] += d
+        for h in self.handles:
+            R = _axis_angle(h.axis, h.ang_vel * dt)
+            d = (x[h.verts] - h.center) @ R.T + h.center - x[h.verts]
+            if h.lin_vel is not None:
+                d += h.lin_vel[None, :] * dt
+            disp[h.verts] += d
+        return disp
+
+    def nbc_force(self, t, n_verts):
+        """(V,3) per-mass Neumann force field active at time t."""
+        f = np.zeros((n_verts, 3))
+        lo, hi = self.nbc_time_range
+        if not (lo <= t < hi):
+            return f
+        for g in self.nbc_groups:
+            if g.time_range[0] <= t < g.time_range[1]:
+                f[g.verts] += g.force[None, :]
+        return f
+
+
+def _euler_xyz(rad):
+    def rot(axis, a):
+        c, s = math.cos(a), math.sin(a)
+        if axis == 0:
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        if axis == 1:
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    return rot(0, rad[0]) @ rot(1, rad[1]) @ rot(2, rad[2])
+
+
+def _axis_angle(axis, a):
+    axis = np.asarray(axis, dtype=float)
+    axis = axis / np.linalg.norm(axis)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + math.sin(a) * K + (1 - math.cos(a)) * (K @ K)
+
+
+def _border_verts(V, ratio):
+    """Two x-extreme handles (reference IglUtils::findBorderVerts)."""
+    lo, hi = V.min(axis=0), V.max(axis=0)
+    rng = hi - lo
+    left = np.nonzero(V[:, 0] < lo[0] + rng[0] * ratio)[0]
+    right = np.nonzero(V[:, 0] > hi[0] - rng[0] * ratio)[0]
+    return left, right
+
+
+def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.01,
+                 shape_specs=None, dbc_time_range=(0.0, math.inf),
+                 nbc_time_range=(0.0, math.inf)):
+    """Construct a Script for scene vertices V.
+
+    shape_specs: parsed config.ShapeSpec list — their DBC/NBC/velocity
+    entries are bound here (vertex selection on boundary nodes inside the
+    RELATIVE bbox of each shape, reference IglUtils::Init_Dirichlet +
+    main.cpp:1045-1070).
+    """
+    V = np.asarray(V)
+    n = len(V)
+    sc = Script(n_verts=n, dbc_time_range=dbc_time_range, nbc_time_range=nbc_time_range)
+    bbox_center = 0.5 * (V.min(axis=0) + V.max(axis=0))
+
+    # --- declarative shape DBC/NBC/initVel ------------------------------
+    if shape_specs is not None:
+        for ci, sp in enumerate(shape_specs):
+            s0, s1 = comp_ranges[ci]
+            Vc = V[s0:s1]
+            lo, hi = Vc.min(axis=0), Vc.max(axis=0)
+            rng = np.where(hi > lo, hi - lo, 1.0)
+            bmask = surface_mask[s0:s1]
+            for d in sp.dbc:
+                rmin = lo + rng * d.bbox_min
+                rmax = lo + rng * d.bbox_max
+                sel = np.nonzero(
+                    bmask & np.all(Vc >= rmin - 1e-12, axis=1) & np.all(Vc <= rmax + 1e-12, axis=1)
+                )[0]
+                if len(sel):
+                    sc.dbc_groups.append(
+                        DBCGroup(sel + s0, d.linear_vel, d.angular_vel, d.time_range)
+                    )
+            for nb in sp.nbc:
+                rmin = lo + rng * nb.bbox_min
+                rmax = lo + rng * nb.bbox_max
+                sel = np.nonzero(
+                    bmask & np.all(Vc >= rmin - 1e-12, axis=1) & np.all(Vc <= rmax + 1e-12, axis=1)
+                )[0]
+                if len(sel):
+                    sc.nbc_groups.append(NBCGroup(sel + s0, nb.force, nb.time_range))
+            # whole-component scripted velocity -> moving DBC of the component
+            if sp.linear_vel is not None or sp.angular_vel is not None:
+                sc.dbc_groups.append(
+                    DBCGroup(
+                        np.arange(s0, s1),
+                        sp.linear_vel if sp.linear_vel is not None else np.zeros(3),
+                        sp.angular_vel if sp.angular_vel is not None else np.zeros(3),
+                    )
+                )
+
+        # initial velocities (component rigid fields)
+        def init_vel(Vx):
+            v = np.zeros_like(Vx)
+            for ci, sp in enumerate(shape_specs):
+                if sp.init_lvel is None:
+                    continue
+                s0, s1 = comp_ranges[ci]
+                c = 0.5 * (Vx[s0:s1].min(axis=0) + Vx[s0:s1].max(axis=0))
+                v[s0:s1] = sp.init_lvel[None, :] + np.cross(
+                    np.broadcast_to(sp.init_avel, (s1 - s0, 3)), Vx[s0:s1] - c
+                )
+            return v
+
+        sc.init_velocity_fn = init_vel
+
+    # --- named scripts ----------------------------------------------------
+    lo, hi = V.min(axis=0), V.max(axis=0)
+    rng = np.where(hi > lo, hi - lo, 1.0)
+
+    def sel(pred):
+        return np.nonzero(pred)[0]
+
+    name_l = (name or "null").lower()
+    if name_l == "null":
+        pass
+    elif name_l == "drop":
+        prev = sc.init_velocity_fn
+
+        def f(Vx):
+            v = prev(Vx) if prev else np.zeros_like(Vx)
+            v[:, 1] = -1.0
+            return v
+
+        sc.init_velocity_fn = f
+    elif name_l == "lefthitright":
+        def f(Vx):
+            v = np.zeros_like(Vx)
+            v[Vx[:, 0] < lo[0] + rng[0] / 2, 0] = 1.0
+            return v
+
+        sc.init_velocity_fn = f
+    elif name_l == "xyrotate":
+        def f(Vx):
+            v = np.zeros_like(Vx)
+            v[Vx[:, 1] < lo[1] + rng[1] * 0.01, 0] = 1.0
+            v[Vx[:, 1] > hi[1] - rng[1] * 0.01, 0] = -1.0
+            return v
+
+        sc.init_velocity_fn = f
+    elif name_l in ("hang", "hang2"):
+        top = sel(V[:, 1] > hi[1] - rng[1] * handle_ratio)
+        sc.dbc_groups.append(DBCGroup(top))
+    elif name_l in ("stand", "standinv"):
+        bottom = sel(V[:, 1] < lo[1] + rng[1] * handle_ratio)
+        sc.dbc_groups.append(DBCGroup(bottom))
+    elif name_l == "topbottomfix":
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] > hi[1] - rng[1] * handle_ratio)))
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * handle_ratio)))
+    elif name_l == "fixlowerhalf":
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.5)))
+    elif name_l in ("twist", "bend", "twistnstretch"):
+        left, right = _border_verts(V, handle_ratio)
+        rates = {"twist": -0.4 * math.pi, "bend": -0.05 * math.pi, "twistnstretch": -0.1 * math.pi}
+        axis = np.array([0.0, 0.0, 1.0]) if name_l == "bend" else np.array([1.0, 0.0, 0.0])
+        for bI, verts in enumerate((left, right)):
+            lin = None
+            if name_l == "twistnstretch":
+                lin = np.array([(-1.0) ** bI * -0.1, 0.0, 0.0])
+            sc.handles.append(
+                HandleMotion(
+                    verts=verts,
+                    ang_vel=(-1.0) ** bI * rates[name_l],
+                    axis=axis,
+                    center=bbox_center.copy(),
+                    lin_vel=lin,
+                )
+            )
+    elif name_l in ("stretch", "squash", "stretchnsquash"):
+        left, right = _border_verts(V, handle_ratio)
+        speed = 0.1 * rng[0]
+        sign = -1.0 if name_l == "squash" else 1.0
+        for bI, verts in enumerate((left, right)):
+            lin = np.array([(-1.0) ** (bI + 1) * -sign * speed, 0.0, 0.0])
+            sc.handles.append(
+                HandleMotion(verts=verts, ang_vel=0.0, axis=np.array([1.0, 0, 0]),
+                             center=bbox_center.copy(), lin_vel=lin)
+            )
+    else:
+        warnings.warn(f"script '{name}' not implemented; treating as null")
+    return sc

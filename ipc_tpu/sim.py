@@ -1,0 +1,223 @@
+"""Scene assembly + offline simulation driver.
+
+The replacement for the reference's main.cpp scene-assembly loop and offline
+progression (reference: main.cpp:864-1205 shape loading/transform/BC
+selection, proceedOptimization :136-181, output writers :361-485): build one
+merged mesh from the config's shapes, bind boundary conditions and collision
+objects, construct the stepper, and run with artifact output.
+"""
+
+import os
+import time
+
+import numpy as np
+
+from ipc_tpu import io_mesh
+from ipc_tpu.config import Config, load_config, save_config
+from ipc_tpu.contact.halfspace import HalfSpace, HalfSpaceParams
+from ipc_tpu.contact.pipeline import SelfContact
+from ipc_tpu.mesh import build_mesh
+from ipc_tpu.scripting import build_script
+from ipc_tpu.timestepper import IPCStepper, SimParams
+from ipc_tpu.utils.observability import RunLogger, load_status, save_status
+
+__all__ = ["Simulation", "assemble"]
+
+
+def _load_shape(path):
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".msh":
+        return io_mesh.read_msh(path)
+    if ext == ".ele" or ext == ".node":
+        return io_mesh.read_node_ele(os.path.splitext(path)[0])
+    raise ValueError(f"unsupported volumetric shape format: {path} "
+                     "(obj/seg/pt codimensional shapes are collision objects)")
+
+
+def assemble(cfg: Config, dtype=np.float64):
+    """Config -> (mesh, meta, stepper ingredients). Mirrors the reference's
+    assembly order: load shape, select BCs on the UNtransformed shape
+    (main.cpp:1045-1070 before the transform at :1074), then transform
+    rotate @ (scale * p) + translate and append."""
+    Vs, Ts = [], []
+    comp_ranges = []
+    vert_comp = []
+    tet_ym, tet_pr, tet_rho = [], [], []
+    off = 0
+    boundary_masks = []
+    kept_specs = []
+    for spec in cfg.shapes:
+        V0, T0 = _load_shape(spec.path)
+        # rotate model (global) then per-shape transform
+        V = (spec.rotate @ (V0 * spec.scale[None, :]).T).T + spec.translate[None, :]
+        nV, nT = len(V0), len(T0)
+        # boundary nodes (selection happens on the untransformed shape)
+        from ipc_tpu.mesh import _boundary_faces
+
+        bmask = np.zeros(nV, dtype=bool)
+        bf = _boundary_faces(np.asarray(T0) if T0.ndim == 2 else T0)
+        bmask[np.unique(bf.reshape(-1))] = True
+        boundary_masks.append(bmask)
+        kept_specs.append(spec)
+
+        rho, ym, pr = spec.material
+        tet_rho.append(np.full(nT, cfg.rho if rho is None or not np.isfinite(rho or np.nan) else rho))
+        tet_ym.append(np.full(nT, cfg.ym if ym is None or not np.isfinite(ym or np.nan) else ym))
+        tet_pr.append(np.full(nT, cfg.pr if pr is None or not np.isfinite(pr or np.nan) else pr))
+
+        Vs.append(V)
+        Ts.append(np.asarray(T0) + off)
+        comp_ranges.append((off, off + nV))
+        vert_comp.append(np.full(nV, len(Vs) - 1, dtype=np.int32))
+        off += nV
+
+    V = np.concatenate(Vs, axis=0)
+    T = np.concatenate(Ts, axis=0)
+    vert_comp = np.concatenate(vert_comp)
+    surface_mask = np.concatenate(boundary_masks)
+
+    # global rotateModel
+    if cfg.rotate_model is not None:
+        from ipc_tpu.scripting import _axis_angle
+
+        axis, deg = cfg.rotate_model
+        R = _axis_angle(axis, np.radians(deg))
+        c = 0.5 * (V.min(axis=0) + V.max(axis=0))
+        V = (V - c) @ R.T + c
+
+    script = build_script(
+        cfg.script,
+        V,
+        surface_mask,
+        comp_ranges,
+        params=cfg.script_params,
+        handle_ratio=cfg.handle_ratio,
+        shape_specs=kept_specs,
+        dbc_time_range=cfg.dbc_time_range,
+        nbc_time_range=cfg.nbc_time_range,
+    )
+    dbc_mask = script.dbc_mask()
+
+    mesh, meta = build_mesh(
+        V,
+        T,
+        density=np.concatenate(tet_rho),
+        ym=np.concatenate(tet_ym),
+        pr=np.concatenate(tet_pr),
+        dbc_mask=dbc_mask,
+        vert_comp=vert_comp,
+        comp_ranges=comp_ranges,
+        dtype=dtype,
+    )
+    return mesh, meta, script
+
+
+class Simulation:
+    """End-to-end simulation bound to one scene config."""
+
+    def __init__(self, cfg: Config, dtype=np.float64, overrides=None):
+        self.cfg = cfg
+        mesh, meta, script = assemble(cfg, dtype)
+        self.mesh, self.meta, self.script = mesh, meta, script
+
+        halfspaces = [
+            HalfSpace(HalfSpaceParams(origin=h.origin, normal=h.normal, friction=h.friction))
+            for h in cfg.halfspaces
+        ]
+        sc = None
+        if cfg.self_collision and len(mesh.surf_tris) > 0:
+            sc = SelfContact(mesh, meta, friction=cfg.self_fric)
+
+        p = dict(
+            dt=cfg.dt,
+            gravity=(0.0, -9.80665, 0.0) if cfg.with_gravity else (0.0, 0.0, 0.0),
+            model=cfg.energy,
+            fric_iter_amt=cfg.fric_iter_amt,
+            kappa_min_mult=cfg.kappa_min_mult,
+            time_integration=cfg.time_integration,
+            nm_beta=cfg.nm_beta,
+            nm_gamma=cfg.nm_gamma,
+        )
+        if cfg.tuning:
+            p["kappa"] = cfg.tuning[0]
+        if cfg.dhat is not None:
+            # keyword dHat is in sqrt-units; internal is squared. When
+            # useAbsParameters the value is absolute (Optimizer.cpp:274-282).
+            if cfg.use_abs_parameters:
+                p["dhat_rel"] = cfg.dhat / np.sqrt(meta.bbox_diag2)
+            else:
+                p["dhat_rel"] = cfg.dhat
+        if cfg.epsv is not None:
+            p["epsv_rel"] = cfg.epsv if not cfg.use_abs_parameters else (
+                cfg.epsv / np.sqrt(meta.bbox_diag2)
+            )
+        if cfg.tol:
+            p["rel_gl2_tol"] = cfg.tol[0] ** 2
+        if overrides:
+            p.update(overrides)
+        self.params = SimParams(**p)
+
+        self.stepper = IPCStepper(
+            mesh, meta, self.params, halfspaces=halfspaces, self_contact=sc, script=script
+        )
+
+    def initial_state(self):
+        if self.cfg.restart_path:
+            return load_status(self.cfg.restart_path, self.stepper)
+        v0 = self.script.initial_velocity(np.asarray(self.mesh.x_rest))
+        return self.stepper.initial_state(v0=v0)
+
+    def run(self, out_dir, n_steps=None, save_every=1, use_jit_step=False, verbose=False):
+        """Offline loop (reference progMode=offline, main.cpp:1419-1453):
+        step, write status checkpoints + surface meshes + logs."""
+        os.makedirs(out_dir, exist_ok=True)
+        save_config(self.cfg, os.path.join(out_dir, "config.txt"))
+        logger = RunLogger(out_dir)
+        state = self.initial_state()
+        total = n_steps if n_steps is not None else int(round(self.cfg.duration / self.cfg.dt))
+
+        step_fn = None
+        if use_jit_step:
+            from ipc_tpu.jit_step import make_jit_step
+
+            step_fn = make_jit_step(self.stepper, donate=False)
+
+        t0 = time.perf_counter()
+        start = int(state.step)
+        for k in range(start, total):
+            with logger.timers.section("step"):
+                if step_fn is not None:
+                    state, jstats = step_fn(state)
+
+                    class _S:  # adapt JitStepStats to the logger
+                        iters = int(jstats.newton_iters)
+                        alphas = [float(jstats.last_alpha)]
+                        n_constraints = [int(jstats.pt_count) + int(jstats.ee_count)]
+                        grad_inf = [float(jstats.dist_to_opt)]
+
+                    stats = _S()
+                else:
+                    state, stats = self.stepper.step(state, verbose=verbose)
+            logger.log_step(k, stats)
+            logger.log_system(self.mesh, self.meta, state, self.stepper.gravity, self.cfg.dt)
+            if save_every and (k + 1) % save_every == 0:
+                with logger.timers.section("io"):
+                    save_status(os.path.join(out_dir, f"status{k + 1}.npz"), state, k + 1)
+                    io_mesh.write_obj(
+                        os.path.join(out_dir, f"surf{k + 1}.obj"),
+                        np.asarray(state.x)[np.asarray(self.mesh.surf_verts)],
+                    )
+        wall = time.perf_counter() - t0
+        logger.write_results_stats(wall)
+        logger.write_info()
+        logger.close()
+        return state
+
+
+def run_scene(config_path, out_dir=None, n_steps=None, dtype=np.float64, **kw):
+    cfg = load_config(config_path)
+    sim = Simulation(cfg, dtype=dtype)
+    if out_dir is None:
+        base = os.path.splitext(os.path.basename(config_path))[0]
+        out_dir = os.path.join("output", base)
+    return sim.run(out_dir, n_steps=n_steps, **kw)

@@ -3,32 +3,40 @@
 The TPU-native replacement for the reference's Optimizer<3>
 (reference: src/TimeStepper/Optimizer.hpp/.cpp): backward-Euler incremental
 potential minimization with barrier contact, adaptive kappa, feasible-step
-filtering (element inversion + CCD), backtracking line search, and lagged
-friction — organized as jitted fixed-shape kernels driven by a thin host
-loop (the Newton iteration count and homotopy schedule are data-dependent;
-everything inside an iteration runs on device).
+filtering (element inversion + half-space closed form + mesh CCD),
+backtracking line search with intersection safeguard, and lagged friction —
+organized as jitted fixed-shape kernels driven by a thin host loop (the
+Newton iteration count and homotopy schedule are data-dependent; everything
+inside an iteration runs on device).
 
 Objective per step (BE; reference computeEnergyVal, Optimizer.cpp:3198-3404):
 
     E(x) = 1/2 ||x - xTilde||^2_M            (inertia)
          + h^2 Psi(x)                        (elasticity)
          - h^2 sum m_v f_NBC . x_v           (Neumann BC work)
-         + kappa * sum_k dup_k b(d_k, dHat)  (contact barrier)
+         + kappa * sum_k b(d_k, dHat)        (contact barrier, all candidate
+                                              pairs; dup-counting is implicit
+                                              in the candidate sum)
          + sum_k mu lam_k f0(|u_k|)          (lagged friction)
 
 with xTilde = x_prev + h v + h^2 g (reference computeXTilta,
 Optimizer.cpp:1235-1278). Newton direction solves (M + h^2 H_Psi + kappa H_b
 + H_f) p = -grad with SPD-projected blocks via matrix-free PCG.
 
-Adaptive kappa follows the reference exactly (suggestKappa/initKappa/
-upperBoundKappa Optimizer.cpp:2215-2313, doubling in postLineSearch
-:2356-2446). Convergence: ||p||_inf < targetGRes = sqrt(1e-8 * bboxDiag^2 *
-h^2) (updateTargetGRes, Optimizer.cpp:2941-2945).
+Adaptive kappa follows the reference (suggestKappa/initKappa/upperBoundKappa
+Optimizer.cpp:2215-2313, doubling in postLineSearch :2356-2446).
+Convergence: ||p||_inf < targetGRes = sqrt(relGL2Tol * bboxDiag^2 * h^2)
+(updateTargetGRes, Optimizer.cpp:2941-2945).
+
+The per-Newton-iteration pipeline mirrors solveSub_IP (Optimizer.cpp:
+1821-2213): candidates (constraint set) -> gradient/Hessian -> PCG ->
+feasible step (inversion cubic + half-space closed form + ACCD over swept
+candidates) -> backtracking line search with intersection safeguard ->
+adaptive-kappa update.
 """
 
-from dataclasses import dataclass, field, replace
-from functools import partial
-from typing import Any, Optional
+from dataclasses import dataclass, field
+from typing import Any
 
 import numpy as np
 
@@ -41,24 +49,18 @@ from ipc_tpu.solver.pcg import apply_block_precond, block_jacobi_inverse, pcg
 
 _HI = jax.lax.Precision.HIGHEST
 
-__all__ = ["SimParams", "SimState", "IPCStepper"]
+__all__ = ["SimParams", "SimState", "IPCStepper", "StepStats"]
 
 
 @dataclass(frozen=True)
 class SimParams:
-    """Static solve parameters (host floats; defaults = reference defaults).
-
-    All `*_rel` quantities are relative to the rest bounding-box diagonal
-    (reference Config/Optimizer defaults: dt 0.025 (Config.hpp:97), dHat
-    1e-3 rel (Optimizer.cpp:274-282), epsv 1e-3 rel/s (:292-304), Newton
-    tol 1e-2 rel (README; relGL2Tol = tol^2 = 1e-4... default 1e-8 in code
-    for tol=1e-4? Optimizer.cpp:97 sets 1e-8, i.e. p_relTol=1e-4), dTol
-    1e-9 rel (:102), kappaMinMultiplier 1e11 (Config.hpp:139)."""
+    """Static solve parameters (host floats; defaults = reference defaults,
+    src/Config.hpp:90-145, src/TimeStepper/Optimizer.cpp:69-346)."""
 
     dt: float = 0.025
     gravity: tuple = (0.0, -9.80665, 0.0)
     model: str = "NH"
-    dhat_rel: float = 1e-3  # sqrt units; dHat = (dhat_rel^2) * bboxDiag2
+    dhat_rel: float = 1e-3  # dHat = dhat_rel^2 * bboxDiag2 (squared units)
     epsv_rel: float = 1e-3  # per second
     rel_gl2_tol: float = 1e-8
     dtol_rel: float = 1e-9
@@ -69,8 +71,9 @@ class SimParams:
     max_newton: int = 10000
     pcg_tol: float = 1e-3
     pcg_maxiter: int = 1000
-    ccd_slackness_a: float = 0.9  # analytic COs (reference solveSub_IP :1885)
-    ccd_slackness_m: float = 0.8  # mesh CCD
+    ccd_slackness_a: float = 0.9  # analytic CO step slack (solveSub_IP :1885)
+    ccd_slackness_m: float = 0.8  # mesh CCD: keep 1-slackness of the gap
+    ccd_max_iter: int = 64
     time_integration: str = "BE"
     nm_beta: float = 0.25
     nm_gamma: float = 0.5
@@ -78,23 +81,27 @@ class SimParams:
 
 @dataclass(frozen=True)
 class SimState:
-    """Dynamic simulation state (pytree)."""
+    """Dynamic simulation state (pytree). `t` and `step` are DATA leaves
+    (traced scalars), not metadata — otherwise every step would change the
+    jit signature and force a recompile."""
 
-    x: Any  # (V,3) current positions
-    x_prev: Any  # (V,3) positions at last committed step
-    v: Any  # (V,3) velocities
-    a: Any  # (V,3) accelerations (Newmark)
-    t: float = 0.0
-    step: int = 0
+    x: Any
+    x_prev: Any
+    v: Any
+    a: Any
+    t: Any = 0.0
+    step: Any = 0
 
 
 jax.tree_util.register_dataclass(
-    SimState, data_fields=["x", "x_prev", "v", "a"], meta_fields=["t", "step"]
+    SimState, data_fields=["x", "x_prev", "v", "a", "t", "step"], meta_fields=[]
 )
 
 
 @dataclass
 class StepStats:
+    """Per-step solve statistics (iterStats.txt analog, Optimizer.cpp:1360)."""
+
     iters: int = 0
     alphas: list = field(default_factory=list)
     energies: list = field(default_factory=list)
@@ -102,23 +109,19 @@ class StepStats:
     n_constraints: list = field(default_factory=list)
     kappa: float = 0.0
     pcg_iters: list = field(default_factory=list)
+    intersection_backtracks: int = 0
 
 
 class IPCStepper:
-    """Host orchestrator owning jitted device kernels for one scene.
+    """Host orchestrator owning jitted device kernels for one scene."""
 
-    Collision objects: `halfspaces` is a list of contact.halfspace.HalfSpace;
-    self-/mesh-mesh contact plugs in via `self_contact` (added by the
-    contact pipeline module).
-    """
-
-    def __init__(self, mesh, meta, params: SimParams, halfspaces=(), self_contact=None,
-                 script=None, nbc=None):
+    def __init__(self, mesh, meta, params: SimParams, halfspaces=(),
+                 self_contact=None, script=None, nbc=None):
         self.mesh = mesh
         self.meta = meta
         self.p = params
         self.halfspaces = list(halfspaces)
-        self.self_contact = self_contact
+        self.sc = self_contact  # contact.pipeline.SelfContact or None
         self.script = script
         self.nbc = nbc
 
@@ -130,12 +133,15 @@ class IPCStepper:
         self.dTol = (params.dtol_rel**2) * self.bbox_diag2
         self.target_gres = np.sqrt(params.rel_gl2_tol * self.bbox_diag2 * self.dtSq)
         self.epsv_h = params.epsv_rel * np.sqrt(self.bbox_diag2) * params.dt
-        self.fric_dhat = self.epsv_h**2  # eps2 band for f0 smoothing
+        self.fric_dhat = self.epsv_h**2
         self.avg_node_mass = meta.avg_node_mass
         self.gravity = np.asarray(params.gravity)
 
         self._sv = mesh.surf_verts
         self._dbc_sv = mesh.dbc_mask[mesh.surf_verts]
+        self._solve_fric = any(hs.params.friction > 0.0 for hs in self.halfspaces) or (
+            self.sc is not None and self.sc.friction > 0.0
+        )
 
         self._build_kernels()
 
@@ -144,31 +150,31 @@ class IPCStepper:
     # ------------------------------------------------------------------
 
     def suggest_kappa(self, dHat):
-        H_b = float(barrier_hess(jnp.asarray(1e-16 * self.bbox_diag2, jnp.float64),
-                                 jnp.asarray(dHat, jnp.float64)))
+        # host-float C2 barrier Hessian at d = 1e-16*bboxDiag^2 (exact f64
+        # regardless of the device dtype; reference suggestKappa)
+        import math
+
+        d = 1e-16 * self.bbox_diag2
+        t = d - dHat
+        H_b = -2.0 * math.log(d / dHat) - 4.0 * t / d + (t * t) / (d * d)
         return self.p.kappa_min_mult * self.avg_node_mass / (4e-16 * self.bbox_diag2 * H_b)
 
     def upper_bound_kappa(self, kappa, dHat):
         return min(kappa, 100.0 * self.suggest_kappa(dHat))
 
-    def init_kappa(self, x, x_tilde, kappa, dHat, fric):
-        """Balance the contact-barrier gradient against the rest of the
-        objective on constrained DOFs (reference initKappa)."""
-        masks = self._contact_masks(x, dHat)
-        n_active = sum(int(m.sum()) for m in masks)
-        if n_active == 0:
-            return kappa
-        g_E = self._grad_no_contact(x, x_tilde, fric)
-        g_c = self._grad_contact_unit(x, dHat, masks)
+    def init_kappa(self, x, x_tilde, kappa, dHat, cand, fric):
+        """Balance the unit-kappa contact gradient against the remaining
+        objective gradient on free DOFs (reference initKappa)."""
+        g_E = np.asarray(self._grad_no_contact(x, x_tilde, fric))
+        g_c = np.asarray(self._grad_contact_unit(x, dHat, cand))
         free = ~np.asarray(self.mesh.dbc_mask)
-        g_E = np.asarray(g_E)[free]
-        g_c = np.asarray(g_c)[free]
+        g_E, g_c = g_E[free], g_c[free]
         denom = float((g_c * g_c).sum())
         if denom <= 0.0:
             return kappa
         min_kappa = -float((g_c * g_E).sum()) / denom
         if min_kappa > 0.0:
-            kappa = min_kappa
+            kappa = max(kappa, min_kappa)
         kappa = max(kappa, self.suggest_kappa(dHat))
         return self.upper_bound_kappa(kappa, dHat)
 
@@ -182,135 +188,245 @@ class IPCStepper:
         dtSq = self.dtSq
         model = p.model
         sv = self._sv
+        sc = self.sc
 
-        def contact_masks(x, dHat):
-            x_sv = x[sv]
-            return tuple(hs.active_mask(x_sv, dHat) for hs in self.halfspaces)
-
-        def energy(x, x_tilde, kappa, dHat, masks, fric):
+        def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None):
             E = dtSq * EL.elasticity_energy(x, mesh, model)
             dx = x - x_tilde
             E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dx * dx)
+            if fext is not None:
+                # NBC work: -h^2 sum m_v f_v . x_v on free vertices
+                E = E - dtSq * jnp.sum(
+                    jnp.where(mesh.dbc_mask[:, None], 0.0, mesh.mass[:, None] * fext * x)
+                )
             x_sv = x[sv]
-            for hs, m in zip(self.halfspaces, masks):
-                E = E + hs.energy(x_sv, m, kappa, dHat)
-            for hs, fr in zip(self.halfspaces, fric):
-                if hs.params.friction > 0.0 and fr is not None:
-                    E = E + hs.friction_energy(x_sv, fr["xt"], fr["lam"], fr["eps2"])
+            for hs in self.halfspaces:
+                E = E + hs.energy(x_sv, kappa, dHat)
+            if sc is not None and cand is not None:
+                E = E + sc.energy(x, cand, kappa, dHat)
+            E = E + self._friction_energy(x, fric)
             return E
 
-        def grad(x, x_tilde, kappa, dHat, masks, fric):
+        def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None):
             g = dtSq * EL.elasticity_gradient(x, mesh, model)
             g = g + mesh.mass[:, None] * (x - x_tilde)
+            if fext is not None:
+                g = g - dtSq * mesh.mass[:, None] * fext
             x_sv = x[sv]
             g_sv = jnp.zeros_like(x_sv)
-            for hs, m in zip(self.halfspaces, masks):
-                g_sv = g_sv + hs.grad_sv(x_sv, m, kappa, dHat)
-            for hs, fr in zip(self.halfspaces, fric):
-                if hs.params.friction > 0.0 and fr is not None:
-                    g_sv = g_sv + hs.friction_grad_sv(x_sv, fr["xt"], fr["lam"], fr["eps2"])
+            for hs in self.halfspaces:
+                g_sv = g_sv + hs.grad_sv(x_sv, kappa, dHat)
             g = g.at[sv].add(g_sv)
-            # DBC projection: zero rows (projected-Newton on free DOFs)
+            if sc is not None and cand is not None:
+                g = g + sc.gradient(x, cand, kappa, dHat)
+            g = g + self._friction_gradient(x, fric)
             return jnp.where(mesh.dbc_mask[:, None], 0.0, g)
 
-        def search_dir(x, x_tilde, kappa, dHat, masks, fric):
-            """Assemble SPD blocks, run block-Jacobi PCG on -grad."""
-            g = grad(x, x_tilde, kappa, dHat, masks, fric)
-            Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)  # (T,12,12)
+        def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None):
+            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext)
+            Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
             x_sv = x[sv]
             Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
-            for hs, m in zip(self.halfspaces, masks):
-                Hsv = Hsv + hs.hess_blocks_sv(x_sv, m, kappa, dHat)
-            for hs, fr in zip(self.halfspaces, fric):
-                if hs.params.friction > 0.0 and fr is not None:
-                    Hsv = Hsv + hs.friction_hess_blocks_sv(
-                        x_sv, fr["xt"], fr["lam"], fr["eps2"]
-                    )
+            for hs in self.halfspaces:
+                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+            fric_blocks = self._friction_hessians(x, fric)  # list of (ids, H)
+            if sc is not None and cand is not None:
+                H_pt, H_ee = sc.hessian_blocks(x, cand, kappa, dHat, True)
+            else:
+                H_pt = H_ee = None
 
             dbc = mesh.dbc_mask
             tets = mesh.tets
 
+            def scatter12(out, vids, H, v):
+                v4 = v[vids].reshape(-1, 12)
+                hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)
+                return out.at[vids.reshape(-1)].add(hv.reshape(-1, 3))
+
             def operator(v):
                 v = jnp.where(dbc[:, None], 0.0, v)
                 out = mesh.mass[:, None] * v
-                v4 = v[tets].reshape(-1, 12)
-                hv = jnp.einsum("tij,tj->ti", Hel, v4, precision=_HI)
-                out = out.at[tets.reshape(-1)].add(hv.reshape(-1, 4, 3).reshape(-1, 3))
+                out = scatter12(out, tets, Hel, v)
                 out = out.at[sv].add(
                     jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI)
                 )
+                if H_pt is not None:
+                    out = scatter12(out, cand.pt_vids, H_pt, v)
+                    out = scatter12(out, cand.ee_vids, H_ee, v)
+                for ids, Hf in fric_blocks:
+                    out = scatter12(out, ids, Hf, v)
+                out = jnp.where(dbc[:, None], 0.0, out)
                 return jnp.where(dbc[:, None], v, out)
 
-            # block-Jacobi: mass + per-tet diagonal 3x3 blocks + CO blocks
-            diag = jnp.zeros((x.shape[0], 3, 3), x.dtype)
-            diag = diag + mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
-            Hel4 = Hel.reshape(-1, 4, 3, 4, 3)
-            for c in range(4):
-                diag = diag.at[tets[:, c]].add(Hel4[:, c, :, c, :])
+            def diag12(diag, vids, H):
+                H4 = H.reshape(-1, 4, 3, 4, 3)
+                for c in range(4):
+                    diag = diag.at[vids[:, c]].add(H4[:, c, :, c, :])
+                return diag
+
+            diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
+            diag = diag12(diag, tets, Hel)
             diag = diag.at[sv].add(Hsv)
+            if H_pt is not None:
+                diag = diag12(diag, cand.pt_vids, H_pt)
+                diag = diag12(diag, cand.ee_vids, H_ee)
+            for ids, Hf in fric_blocks:
+                diag = diag12(diag, ids, Hf)
             eye = jnp.eye(3, dtype=x.dtype)[None]
             diag = jnp.where(dbc[:, None, None], eye, diag)
             inv_diag = block_jacobi_inverse(diag)
 
-            def precond(r):
-                return apply_block_precond(inv_diag, r)
-
             rhs = -g
-            dx, iters, rel = pcg(operator, rhs, precond, tol=p.pcg_tol, maxiter=p.pcg_maxiter)
+            dx, iters, rel = pcg(
+                operator,
+                rhs,
+                lambda r: apply_block_precond(inv_diag, r),
+                tol=p.pcg_tol,
+                maxiter=p.pcg_maxiter,
+            )
             return dx, g, iters, rel
 
-        def feasible_step(x, dx, slackness_a):
+        def feasible_step_local(x, dx):
+            """Inversion cubic + half-space closed form (no mesh CCD)."""
             alpha = jnp.asarray(1.0, x.dtype)
-            t_inv = EL.filter_step_size(x, dx, mesh, model)
-            alpha = jnp.minimum(alpha, t_inv)
+            alpha = jnp.minimum(alpha, EL.filter_step_size(x, dx, mesh, model))
             x_sv = x[sv]
             p_sv = dx[sv]
             for hs in self.halfspaces:
                 alpha = jnp.minimum(
-                    alpha, hs.largest_feasible_step(x_sv, p_sv, self._dbc_sv, slackness_a)
+                    alpha,
+                    hs.largest_feasible_step(x_sv, p_sv, self._dbc_sv, p.ccd_slackness_a),
                 )
             return alpha
 
-        def capture_friction(x, kappa, dHat):
-            x_sv = x[sv]
-            out = []
-            for hs in self.halfspaces:
-                if hs.params.friction > 0.0:
-                    m = hs.active_mask(x_sv, dHat)
-                    lam = hs.friction_lambda(x_sv, m, kappa, dHat)
-                    out.append(dict(lam=lam, mask=m))
-                else:
-                    out.append(None)
-            return out
-
-        self._contact_masks = jax.jit(contact_masks)
         self._energy = jax.jit(energy)
         self._grad = jax.jit(grad)
         self._search_dir = jax.jit(search_dir)
-        self._feasible_step = jax.jit(feasible_step, static_argnames=())
-        self._capture_friction = jax.jit(capture_friction)
+        self._feasible_step_local = jax.jit(feasible_step_local)
 
         def grad_no_contact(x, x_tilde, fric):
             g = dtSq * EL.elasticity_gradient(x, mesh, model)
             g = g + mesh.mass[:, None] * (x - x_tilde)
-            x_sv = x[sv]
-            g_sv = jnp.zeros_like(x_sv)
-            for hs, fr in zip(self.halfspaces, fric):
-                if hs.params.friction > 0.0 and fr is not None:
-                    g_sv = g_sv + hs.friction_grad_sv(x_sv, fr["xt"], fr["lam"], fr["eps2"])
-            return g.at[sv].add(g_sv)
+            g = g + self._friction_gradient(x, fric)
+            return g
 
-        def grad_contact_unit(x, dHat, masks):
-            """Contact gradient with kappa = 1 (for initKappa balancing)."""
+        def grad_contact_unit(x, dHat, cand):
             x_sv = x[sv]
             g_sv = jnp.zeros_like(x_sv)
-            for hs, m in zip(self.halfspaces, masks):
-                g_sv = g_sv + hs.grad_sv(x_sv, m, 1.0, dHat)
-            g = jnp.zeros_like(x)
-            return g.at[sv].add(g_sv)
+            for hs in self.halfspaces:
+                g_sv = g_sv + hs.grad_sv(x_sv, 1.0, dHat)
+            g = jnp.zeros_like(x).at[sv].add(g_sv)
+            if sc is not None and cand is not None:
+                g = g + sc.gradient(x, cand, 1.0, dHat)
+            return g
 
         self._grad_no_contact = jax.jit(grad_no_contact)
         self._grad_contact_unit = jax.jit(grad_contact_unit)
+
+        if sc is not None:
+            self._build_cand = jax.jit(
+                lambda x, disp, gap: sc.build_candidates(x, disp, gap)
+            )
+            self._ccd_alpha = jax.jit(
+                lambda x, dx, cand: sc.ccd_alpha(
+                    x, dx, cand, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
+                )
+            )
+            self._has_intersection = jax.jit(lambda x: sc.has_intersection(x))
+            self._n_active = jax.jit(lambda x, cand, dHat: sc.n_active(x, cand, dHat))
+
+    # ------------------------------------------------------------------
+    # friction term helpers (fric is a dict or None)
+    # ------------------------------------------------------------------
+
+    def _friction_energy(self, x, fric):
+        if fric is None:
+            return jnp.asarray(0.0, x.dtype)
+        E = jnp.asarray(0.0, x.dtype)
+        x_sv = x[self._sv]
+        for hs, st in zip(self.halfspaces, fric["hs"]):
+            if hs.params.friction > 0.0:
+                E = E + hs.friction_energy(x_sv, fric["anchor"][self._sv], st, fric["eps2"])
+        if fric.get("sc") is not None:
+            from ipc_tpu.contact import selfcollision as SCmod
+
+            E = E + SCmod.friction_energy(
+                fric["sc"], x, fric["anchor"], fric["eps2"], self.sc.friction
+            )
+        return E
+
+    def _friction_gradient(self, x, fric):
+        if fric is None:
+            return jnp.zeros_like(x)
+        g = jnp.zeros_like(x)
+        x_sv = x[self._sv]
+        for hs, st in zip(self.halfspaces, fric["hs"]):
+            if hs.params.friction > 0.0:
+                g = g.at[self._sv].add(
+                    hs.friction_grad_sv(x_sv, fric["anchor"][self._sv], st, fric["eps2"])
+                )
+        if fric.get("sc") is not None:
+            from ipc_tpu.contact import selfcollision as SCmod
+
+            g = g + SCmod.friction_gradient(
+                fric["sc"], x, fric["anchor"], fric["eps2"], self.sc.friction, x.shape[0]
+            )
+        return g
+
+    def _friction_hessians(self, x, fric):
+        """Returns a list of (vids (C,4), H (C,12,12)) plus folds the
+        half-space per-vertex blocks into 12x12 shape-compatible wrappers."""
+        out = []
+        if fric is None:
+            return out
+        x_sv = x[self._sv]
+        for hs, st in zip(self.halfspaces, fric["hs"]):
+            if hs.params.friction > 0.0:
+                H3 = hs.friction_hess_blocks_sv(
+                    x_sv, fric["anchor"][self._sv], st, fric["eps2"]
+                )
+                # embed (Sv,3,3) into (Sv,12,12) on stencil (v,v,v,v)/4? No:
+                # use a dedicated 1-vertex scatter via 12x12 with only the
+                # (0,0) block and vids = (v,v,v,v) would overcount. Instead
+                # wrap as its own operator-friendly pair list with vids
+                # (Sv,4) = (v,0,0,0) and H zero except block (0,0).
+                C = H3.shape[0]
+                H12 = jnp.zeros((C, 12, 12), x.dtype).at[:, :3, :3].set(H3)
+                vids = jnp.stack(
+                    [self._sv, jnp.zeros_like(self._sv), jnp.zeros_like(self._sv), jnp.zeros_like(self._sv)],
+                    axis=1,
+                )
+                out.append((vids, H12))
+        if fric.get("sc") is not None:
+            from ipc_tpu.contact import selfcollision as SCmod
+
+            Hs = SCmod.friction_hessian_blocks(
+                fric["sc"], x, fric["anchor"], fric["eps2"], self.sc.friction
+            )
+            out.append((fric["sc"]["vids"], Hs))
+        return out
+
+    def _capture_friction(self, x, x_anchor, kappa, dHat, cand):
+        """Capture all lagged friction state at iterate x."""
+        if not self._solve_fric:
+            return None
+        x_sv = x[self._sv]
+        hs_lams = []
+        for hs in self.halfspaces:
+            if hs.params.friction > 0.0:
+                m = hs.active_mask(x_sv, dHat)
+                hs_lams.append(hs.friction_lambda(x_sv, m, kappa, dHat))
+            else:
+                hs_lams.append(None)
+        sc_state = None
+        if self.sc is not None and self.sc.friction > 0.0 and cand is not None:
+            sc_state = self.sc.capture_friction(x, cand, kappa, dHat)
+        return dict(
+            hs=hs_lams,
+            sc=sc_state,
+            anchor=x_anchor,
+            eps2=jnp.asarray(self.fric_dhat, self.dtype),
+        )
 
     # ------------------------------------------------------------------
     # time stepping
@@ -319,35 +435,71 @@ class IPCStepper:
     def compute_x_tilde(self, state: SimState):
         g = jnp.asarray(self.gravity, self.dtype)
         xt = state.x_prev + self.dt * state.v + self.dtSq * g[None, :]
-        return jnp.where(self.mesh.dbc_mask[:, None], state.x_prev, xt)
+        # DBC rows: hold at the current (possibly scripted) position
+        # (reference computeXTilta uses V_prev for DBC; scripted motion has
+        # already moved x by the time the solve starts)
+        return jnp.where(self.mesh.dbc_mask[:, None], state.x, xt)
 
     def initial_state(self, x0=None, v0=None):
         x = jnp.asarray(x0 if x0 is not None else self.mesh.x_rest, self.dtype)
         v = jnp.asarray(v0, self.dtype) if v0 is not None else jnp.zeros_like(x)
         return SimState(x=x, x_prev=x, v=v, a=jnp.zeros_like(x))
 
-    def _fric_pack(self, captured, x_prev):
-        """Bind captured lambdas to the previous-step anchor positions."""
-        out = []
-        xt_sv = x_prev[self._sv]
-        for fr in captured:
-            if fr is None:
-                out.append(None)
-            else:
-                out.append(dict(lam=fr["lam"], xt=xt_sv, eps2=jnp.asarray(self.fric_dhat, self.dtype)))
-        return out
+    def _candidates(self, x, disp=None):
+        """Constraint-set candidates at x (gap sqrt(dHat)), optionally swept
+        by disp; handles capacity growth (host sync per build)."""
+        if self.sc is None:
+            return None
+        gap = float(np.sqrt(self.dHat))
+        while True:
+            cand = self._build_cand(x, disp if disp is not None else jnp.zeros_like(x), gap)
+            if not self.sc.ensure_caps(cand):
+                return cand
+            # caps grew: re-trace via fresh jit closure
+            self._build_kernels()
 
     def step(self, state: SimState, verbose=False):
         """Advance one time step (reference Optimizer::solve + fullyImplicit_IP,
         Optimizer.cpp:509-602, 1517-1819)."""
         p = self.p
         stats = StepStats()
-        x_tilde = self.compute_x_tilde(state)
-
         x = state.x
         dHat = self.dHat
 
-        solve_fric = any(hs.params.friction > 0.0 for hs in self.halfspaces)
+        # scripted DBC motion (reference stepAnimScript, AnimScripter.cpp:
+        # 1398-2276): move Dirichlet vertices along their scripted rigid
+        # motion before the implicit solve, backtracking on intersection
+        if self.script is not None and self.script.has_motion():
+            disp = self.script.step_displacement(np.asarray(x), float(state.t), self.dt)
+            if np.any(disp):
+                disp = jnp.asarray(disp, self.dtype)
+                scale = 1.0
+                while True:
+                    x_try = x + scale * disp
+                    if self.sc is None:
+                        x = x_try
+                        break
+                    hit, _ = self._has_intersection(x_try)
+                    if not bool(hit):
+                        x = x_try
+                        break
+                    scale *= 0.5
+                    if scale < 1e-6:
+                        raise RuntimeError("scripted motion cannot avoid intersection")
+            state = SimState(x=x, x_prev=state.x_prev, v=state.v, a=state.a,
+                             t=state.t, step=state.step)
+
+        x_tilde = self.compute_x_tilde(state)
+        x = state.x
+
+        cand = self._candidates(x)
+
+        # NBC force field for this step (constant over the solve)
+        fext = None
+        if self.script is not None and self.script.nbc_groups:
+            f = self.script.nbc_force(float(state.t), x.shape[0])
+            if np.any(f):
+                fext = jnp.asarray(f, self.dtype)
 
         # kappa init (reference fullyImplicit_IP :1536-1550)
         kappa = p.kappa
@@ -355,78 +507,88 @@ class IPCStepper:
             kappa = self.upper_bound_kappa(kappa, dHat)
         else:
             kappa = self.suggest_kappa(dHat)
-        no_fric = [None] * len(self.halfspaces)
         if p.adaptive_kappa:
-            kappa = self.init_kappa(x, x_tilde, kappa, dHat, no_fric)
+            kappa = self.init_kappa(x, x_tilde, kappa, dHat, cand, None)
 
-        # lagged friction capture at step start
-        fric = no_fric
-        if solve_fric:
-            fric = self._fric_pack(self._capture_friction(x, kappa, dHat), state.x_prev)
+        fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
 
         fric_iter = 0
         while True:
-            x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose)
+            x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose, fext)
             fric_iter += 1
-            if not solve_fric:
+            if not self._solve_fric or (p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt):
                 break
-            if p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt + 0:
-                # re-capture once more? reference recaptures then checks
-                # convergence; with fricIterAmt=1 it stops after 1 loop.
-                break
-            fric = self._fric_pack(self._capture_friction(x, kappa, dHat), state.x_prev)
+            cand = self._candidates(x)
+            fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
 
         stats.kappa = kappa
 
-        # velocity update (BE; reference Optimizer::solve :570-596)
+        # BE velocity update; DBC vertices carry their scripted velocity
+        # (reference Optimizer::solve :570-596 updates all rows uniformly)
         v_new = (x - state.x_prev) / self.dt
-        v_new = jnp.where(self.mesh.dbc_mask[:, None], 0.0, v_new)
-        new_state = SimState(
-            x=x,
-            x_prev=x,
-            v=v_new,
-            a=state.a,
-            t=state.t + self.dt,
-            step=state.step + 1,
+        return (
+            SimState(
+                x=x, x_prev=x, v=v_new, a=state.a, t=state.t + self.dt, step=state.step + 1
+            ),
+            stats,
         )
-        return new_state, stats
 
-    def _solve_sub_ip(self, x, x_tilde, kappa, dHat, fric, stats, verbose):
+    def _solve_sub_ip(self, x, x_tilde, kappa, dHat, fric, stats, verbose, fext=None):
         """Newton loop (reference solveSub_IP, Optimizer.cpp:1821-2213)."""
         p = self.p
-        close_set = None  # (masks, d2 values) for adaptive kappa
+        close_d2 = None
         for k in range(p.max_newton):
-            masks = self._contact_masks(x, dHat)
-            dx, g, pcg_iters, pcg_rel = self._search_dir(x, x_tilde, kappa, dHat, masks, fric)
+            cand = self._candidates(x)
+            dx, g, pcg_iters, pcg_rel = self._search_dir(x, x_tilde, kappa, dHat, cand, fric, fext)
             dist_to_opt = float(jnp.abs(dx).max())
             stats.grad_inf.append(float(jnp.abs(g).max()))
             stats.pcg_iters.append(int(pcg_iters))
-            stats.n_constraints.append(sum(int(m.sum()) for m in masks))
+            if self.sc is not None:
+                stats.n_constraints.append(int(self._n_active(x, cand, dHat)))
             if k > 0 and dist_to_opt < self.target_gres:
                 break
 
-            alpha = float(self._feasible_step(x, dx, p.ccd_slackness_a))
+            # feasible step: inversion + half-space closed form + mesh ACCD
+            alpha = float(self._feasible_step_local(x, dx))
+            if self.sc is not None:
+                cand_ccd = self._candidates(x, disp=alpha * dx)
+                alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx, cand_ccd)) * alpha)
+                cand_ls = cand_ccd  # covers every pair reachable within alpha
+            else:
+                cand_ls = cand
             if alpha <= 0.0:
                 raise RuntimeError("feasible step size is 0 (CCD)")
 
-            # backtracking line search (Armijo c1=0: monotone decrease,
-            # reference lineSearch, Optimizer.cpp:2661-2916)
-            E0 = float(self._energy(x, x_tilde, kappa, dHat, masks, fric))
+            # backtracking line search (Armijo c1=0, reference lineSearch)
+            E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext))
             while True:
                 x_new = x + alpha * dx
-                masks_new = self._contact_masks(x_new, dHat)
-                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, masks_new, fric))
+                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext))
                 if E_new <= E0 or alpha < 1e-12:
                     break
                 alpha *= 0.5
+            # intersection safeguard (reference lineSearch :2719-2735)
+            if self.sc is not None:
+                while True:
+                    hit, et_count = self._has_intersection(x_new)
+                    if int(et_count) > self.sc.cap_et:
+                        self.sc.cap_et = int(int(et_count) * 1.5) + 64
+                        self._build_kernels()
+                        continue
+                    if not bool(hit):
+                        break
+                    alpha *= 0.5
+                    stats.intersection_backtracks += 1
+                    x_new = x + alpha * dx
+                    if alpha < 1e-14:
+                        raise RuntimeError("intersection safeguard failed")
             x = x_new
             stats.alphas.append(alpha)
             stats.energies.append(E_new)
             stats.iters = k + 1
 
-            # adaptive kappa (reference postLineSearch :2356-2446)
             if p.adaptive_kappa:
-                kappa, close_set = self._post_line_search(x, kappa, dHat, close_set)
+                kappa, close_d2 = self._post_line_search(x, kappa, dHat, close_d2, cand_ls)
 
             if verbose:
                 print(
@@ -435,23 +597,37 @@ class IPCStepper:
                 )
         return x
 
-    def _post_line_search(self, x, kappa, dHat, close_set):
-        """Double kappa when previously-close constraints got closer; track
-        constraints with d < dTol (reference postLineSearch)."""
-        x_sv = np.asarray(x[self._sv])
-        d2_all = []
-        for hs in self.halfspaces:
-            d2_all.append(np.asarray(hs.dist2(jnp.asarray(x_sv))))
-        if close_set is not None:
-            update = False
-            for d2, (prev_mask, prev_val) in zip(d2_all, close_set):
-                if prev_mask.any() and np.any(d2[prev_mask] <= prev_val[prev_mask]):
-                    update = True
-                    break
-            if update:
+    def _post_line_search(self, x, kappa, dHat, close_d2, cand):
+        """Double kappa when previously-close constraints got closer
+        (reference postLineSearch, Optimizer.cpp:2356-2446)."""
+        d2_now = self._all_dist2(x, cand)
+        if close_d2 is not None and close_d2.shape == d2_now.shape:
+            close_mask = close_d2 < self.dTol
+            if np.any(close_mask & (d2_now <= close_d2)):
                 kappa = self.upper_bound_kappa(kappa * 2.0, dHat)
-        new_close = []
-        for d2 in d2_all:
-            m = d2 < self.dTol
-            new_close.append((m, d2))
-        return kappa, new_close
+        return kappa, d2_now
+
+    def _all_dist2(self, x, cand):
+        """Concatenated squared distances of all tracked constraints."""
+        parts = []
+        x_sv = np.asarray(x[self._sv])
+        for hs in self.halfspaces:
+            parts.append(np.asarray(hs.dist2(jnp.asarray(x_sv))))
+        if self.sc is not None and cand is not None:
+            from ipc_tpu.contact import selfcollision as SCmod
+            from ipc_tpu.ops import distance as Dmod
+
+            def d_pt(x4):
+                ct, xs = SCmod.pt_reduce(x4)
+                return Dmod.stencil_dist2(ct, xs)
+
+            def d_ee(x4):
+                ct, xs = SCmod.ee_reduce(x4)
+                return Dmod.stencil_dist2(ct, xs)
+
+            dpt = np.asarray(jax.vmap(d_pt)(x[cand.pt_vids]))
+            dee = np.asarray(jax.vmap(d_ee)(x[cand.ee_vids]))
+            dpt = np.where(np.asarray(cand.pt_valid), dpt, np.inf)
+            dee = np.where(np.asarray(cand.ee_valid), dee, np.inf)
+            parts.extend([dpt, dee])
+        return np.concatenate(parts) if parts else np.zeros(0)

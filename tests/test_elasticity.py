@@ -28,6 +28,11 @@ def fd_grad(f, x, eps=1e-6):
 
 MU, LAM = lame_params(1e5, 0.4)
 
+# jitted element kernels (eager dispatch dominates FD-loop runtime otherwise)
+E_EL = jax.jit(EL._elem_energy, static_argnums=(5,))
+G_EL = jax.jit(EL._elem_grad, static_argnums=(5,))
+H_EL = jax.jit(EL._elem_hess, static_argnums=(5, 6))
+
 
 def _rand_tet(rng, scale=0.3):
     """A non-degenerate, non-inverted tet near rest + a deformed copy."""
@@ -47,24 +52,25 @@ def _rand_tet(rng, scale=0.3):
 class TestSigmaSpace:
     def test_dE_matches_fd(self, model):
         m = EL.MODELS[model]
+        E_j = jax.jit(m["E"])
+        dE_j = jax.jit(m["dE"])
         rng = np.random.default_rng(0)
-        for _ in range(20):
+        for _ in range(8):
             s = rng.uniform(0.3, 2.0, size=3)
-            g = m["dE"](jnp.asarray(s), MU, LAM)
-            g_fd = fd_grad(lambda s: m["E"](s, MU, LAM), s, eps=1e-7)
+            g = dE_j(jnp.asarray(s), MU, LAM)
+            g_fd = fd_grad(lambda s: E_j(s, MU, LAM), s, eps=1e-7)
             np.testing.assert_allclose(g, g_fd, rtol=1e-5)
 
     def test_d2E_matches_fd(self, model):
         m = EL.MODELS[model]
+        dE_j = jax.jit(m["dE"])
+        d2E_j = jax.jit(m["d2E"])
         rng = np.random.default_rng(1)
-        for _ in range(20):
+        for _ in range(8):
             s = rng.uniform(0.3, 2.0, size=3)
-            H = m["d2E"](jnp.asarray(s), MU, LAM)
+            H = d2E_j(jnp.asarray(s), MU, LAM)
             H_fd = np.stack(
-                [
-                    fd_grad(lambda s: m["dE"](s, MU, LAM)[i], s, eps=1e-7)
-                    for i in range(3)
-                ]
+                [fd_grad(lambda s: dE_j(s, MU, LAM)[i], s, eps=1e-7) for i in range(3)]
             )
             np.testing.assert_allclose(H, H_fd, rtol=1e-4, atol=1e-3)
 
@@ -81,8 +87,8 @@ class TestElement:
         rng = np.random.default_rng(2)
         for _ in range(10):
             rest, x, Binv, vol = _rand_tet(rng)
-            f = lambda x4: EL._elem_energy(x4, jnp.asarray(Binv), vol, MU, LAM, model)
-            g = EL._elem_grad(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model)
+            f = lambda x4: E_EL(x4, jnp.asarray(Binv), vol, MU, LAM, model)
+            g = G_EL(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model)
             g_fd = fd_grad(f, x, eps=1e-6)
             np.testing.assert_allclose(g, g_fd, rtol=2e-4, atol=1e-4 * max(1, abs(g_fd).max()))
 
@@ -90,8 +96,8 @@ class TestElement:
         rng = np.random.default_rng(3)
         for _ in range(5):
             rest, x, Binv, vol = _rand_tet(rng)
-            H = EL._elem_hess(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model, False)
-            g = lambda x4flat: EL._elem_grad(
+            H = H_EL(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model, False)
+            g = lambda x4flat: G_EL(
                 x4flat.reshape(4, 3), jnp.asarray(Binv), vol, MU, LAM, model
             ).reshape(12)
             H_fd = np.stack([fd_grad(lambda xf: g(xf)[i], x.reshape(12), eps=1e-6) for i in range(12)])
@@ -103,7 +109,7 @@ class TestElement:
         for _ in range(10):
             rest, x, Binv, vol = _rand_tet(rng, scale=0.8)
             H = np.asarray(
-                EL._elem_hess(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model, True)
+                H_EL(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model, True)
             )
             w = np.linalg.eigvalsh(0.5 * (H + H.T))
             assert w.min() >= -1e-7 * max(1.0, abs(w).max())
@@ -116,16 +122,16 @@ class TestElement:
         Q, _ = np.linalg.qr(A)
         if np.linalg.det(Q) < 0:
             Q[:, 0] *= -1
-        e0 = EL._elem_energy(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model)
-        e1 = EL._elem_energy(jnp.asarray(x @ Q.T), jnp.asarray(Binv), vol, MU, LAM, model)
+        e0 = E_EL(jnp.asarray(x), jnp.asarray(Binv), vol, MU, LAM, model)
+        e1 = E_EL(jnp.asarray(x @ Q.T), jnp.asarray(Binv), vol, MU, LAM, model)
         np.testing.assert_allclose(e0, e1, rtol=1e-8)
 
     def test_rest_state_zero(self, model):
         rng = np.random.default_rng(6)
         rest, _, Binv, vol = _rand_tet(rng)
-        e = EL._elem_energy(jnp.asarray(rest), jnp.asarray(Binv), vol, MU, LAM, model)
+        e = E_EL(jnp.asarray(rest), jnp.asarray(Binv), vol, MU, LAM, model)
         np.testing.assert_allclose(e, 0.0, atol=1e-9)
-        g = EL._elem_grad(jnp.asarray(rest), jnp.asarray(Binv), vol, MU, LAM, model)
+        g = G_EL(jnp.asarray(rest), jnp.asarray(Binv), vol, MU, LAM, model)
         np.testing.assert_allclose(g, 0.0, atol=1e-6)
 
 

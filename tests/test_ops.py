@@ -117,28 +117,36 @@ class TestDistance:
         n = 60
         u, v = np.meshgrid(np.linspace(0, 1, n + 1), np.linspace(0, 1, n + 1))
         keep = (u + v) <= 1.0
-        u, v = u[keep][:, None], v[keep][:, None]
-        for _ in range(200):
-            x = rng.uniform(-1, 1, size=(4, 3))
-            d = float(D.point_triangle_dist2(*[jnp.asarray(r) for r in x]))
-            pts = x[1] + u * (x[2] - x[1]) + v * (x[3] - x[1])
-            best = float(np.min(np.sum((x[0] - pts) ** 2, axis=1)))
-            assert d <= best + 1e-9
-            assert d >= best - 2e-3  # grid resolution slack
+        u, v = u[keep][:, None, None], v[keep][:, None, None]
+        X = rng.uniform(-1, 1, size=(200, 4, 3))
+        d = np.asarray(
+            jax.jit(jax.vmap(lambda x: D.point_triangle_dist2(x[0], x[1], x[2], x[3])))(
+                jnp.asarray(X)
+            )
+        )
+        pts = X[None, :, 1] + u * (X[None, :, 2] - X[None, :, 1]) + v * (
+            X[None, :, 3] - X[None, :, 1]
+        )  # (G,200,3)
+        best = np.min(np.sum((X[None, :, 0] - pts) ** 2, axis=2), axis=0)
+        assert np.all(d <= best + 1e-9)
+        assert np.all(d >= best - 2e-3)  # grid resolution slack
 
     def test_edge_edge_vs_bruteforce(self):
         rng = np.random.default_rng(4)
         n = 80
         s, t = np.meshgrid(np.linspace(0, 1, n + 1), np.linspace(0, 1, n + 1))
-        s, t = s.reshape(-1, 1), t.reshape(-1, 1)
-        for _ in range(200):
-            x = rng.uniform(-1, 1, size=(4, 3))
-            d = float(D.edge_edge_dist2(*[jnp.asarray(r) for r in x]))
-            pa = x[0] + s * (x[1] - x[0])
-            pb = x[2] + t * (x[3] - x[2])
-            best = float(np.min(np.sum((pa - pb) ** 2, axis=1)))
-            assert d <= best + 1e-9
-            assert d >= best - 2e-3
+        s, t = s.reshape(-1, 1, 1), t.reshape(-1, 1, 1)
+        X = rng.uniform(-1, 1, size=(200, 4, 3))
+        d = np.asarray(
+            jax.jit(jax.vmap(lambda x: D.edge_edge_dist2(x[0], x[1], x[2], x[3])))(
+                jnp.asarray(X)
+            )
+        )
+        pa = X[None, :, 0] + s * (X[None, :, 1] - X[None, :, 0])
+        pb = X[None, :, 2] + t * (X[None, :, 3] - X[None, :, 2])
+        best = np.min(np.sum((pa - pb) ** 2, axis=2), axis=0)
+        assert np.all(d <= best + 1e-9)
+        assert np.all(d >= best - 2e-3)
 
     def test_stencil_grad_fd(self):
         rng = np.random.default_rng(5)
@@ -158,31 +166,47 @@ class TestDistance:
     def test_dtype_pt_consistency(self):
         # the region-aware distance must equal the min over all 7 candidates
         rng = np.random.default_rng(8)
-        for _ in range(300):
-            x = [jnp.asarray(v) for v in rng.uniform(-1, 1, size=(4, 3))]
-            d = float(D.point_triangle_dist2(*x))
-            cands = [
-                D.d_PP(x[0], x[1]),
-                D.d_PP(x[0], x[2]),
-                D.d_PP(x[0], x[3]),
-                D.point_edge_dist2(x[0], x[1], x[2]),
-                D.point_edge_dist2(x[0], x[2], x[3]),
-                D.point_edge_dist2(x[0], x[3], x[1]),
-            ]
-            assert d <= float(min(cands)) + 1e-12
+        X = jnp.asarray(rng.uniform(-1, 1, size=(300, 4, 3)))
+
+        @jax.jit
+        @jax.vmap
+        def check(x):
+            d = D.point_triangle_dist2(x[0], x[1], x[2], x[3])
+            cands = jnp.stack(
+                [
+                    D.d_PP(x[0], x[1]),
+                    D.d_PP(x[0], x[2]),
+                    D.d_PP(x[0], x[3]),
+                    D.point_edge_dist2(x[0], x[1], x[2]),
+                    D.point_edge_dist2(x[0], x[2], x[3]),
+                    D.point_edge_dist2(x[0], x[3], x[1]),
+                ]
+            )
+            return d, cands.min()
+
+        d, best = check(X)
+        assert np.all(np.asarray(d) <= np.asarray(best) + 1e-12)
 
     def test_dtype_ee_consistency(self):
         rng = np.random.default_rng(9)
-        for _ in range(300):
-            x = [jnp.asarray(v) for v in rng.uniform(-1, 1, size=(4, 3))]
-            d = float(D.edge_edge_dist2(*x))
-            cands = [
-                D.point_edge_dist2(x[0], x[2], x[3]),
-                D.point_edge_dist2(x[1], x[2], x[3]),
-                D.point_edge_dist2(x[2], x[0], x[1]),
-                D.point_edge_dist2(x[3], x[0], x[1]),
-            ]
-            assert d <= float(min(cands)) + 1e-12
+        X = jnp.asarray(rng.uniform(-1, 1, size=(300, 4, 3)))
+
+        @jax.jit
+        @jax.vmap
+        def check(x):
+            d = D.edge_edge_dist2(x[0], x[1], x[2], x[3])
+            cands = jnp.stack(
+                [
+                    D.point_edge_dist2(x[0], x[2], x[3]),
+                    D.point_edge_dist2(x[1], x[2], x[3]),
+                    D.point_edge_dist2(x[2], x[0], x[1]),
+                    D.point_edge_dist2(x[3], x[0], x[1]),
+                ]
+            )
+            return d, cands.min()
+
+        d, best = check(X)
+        assert np.all(np.asarray(d) <= np.asarray(best) + 1e-12)
 
     def test_mollifier(self):
         x = jnp.asarray(
@@ -225,11 +249,12 @@ class TestSVD:
     @pytest.mark.parametrize("impl", [svd3_flip, svd3_jacobi])
     def test_random(self, impl):
         rng = np.random.default_rng(12)
-        for _ in range(100):
-            F = rng.normal(size=(3, 3))
-            U, s, V = impl(jnp.asarray(F))
-            self._check(F, np.asarray(U), np.asarray(s), np.asarray(V))
-            assert (float(s[2]) < 0) == (np.linalg.det(F) < 0)
+        F = rng.normal(size=(100, 3, 3))
+        U, s, V = jax.jit(jax.vmap(impl))(jnp.asarray(F))
+        U, s, V = np.asarray(U), np.asarray(s), np.asarray(V)
+        for i in range(100):
+            self._check(F[i], U[i], s[i], V[i])
+            assert (s[i, 2] < 0) == (np.linalg.det(F[i]) < 0)
 
     @pytest.mark.parametrize("impl", [svd3_flip, svd3_jacobi])
     def test_degenerate(self, impl):
@@ -309,12 +334,15 @@ class TestStepBound:
 
     def test_step_bound_blocks_inversion(self):
         rng = np.random.default_rng(16)
-        for _ in range(100):
-            A = rng.normal(size=(3, 3))
-            if np.linalg.det(A) < 0:
-                A[:, 0] *= -1
-            Bm = rng.normal(size=(3, 3))
-            t = float(injective_step_bound(jnp.asarray(A), jnp.asarray(Bm)))
+        As = rng.normal(size=(100, 3, 3))
+        flip = np.linalg.det(As) < 0
+        As[flip, :, 0] *= -1
+        Bs = rng.normal(size=(100, 3, 3))
+        ts = np.asarray(
+            jax.jit(jax.vmap(injective_step_bound))(jnp.asarray(As), jnp.asarray(Bs))
+        )
+        for i in range(100):
+            A, Bm, t = As[i], Bs[i], float(ts[i])
             detA = np.linalg.det(A)
             if t < 1e29:
                 # at the bound the det equals slackness * detA

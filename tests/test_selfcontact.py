@@ -1,0 +1,201 @@
+"""Self-contact pipeline tests: barrier energy/gradient FD checks over
+candidate tensors, ACCD conservativeness, intersection predicate, and the
+two-cube / crossed-rod end-to-end scenes (the reference's 2cubesFall
+tutorial + an EE-dominated configuration)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipc_tpu.models.primitives import cube, rod
+from ipc_tpu.mesh import build_mesh, merge_meshes
+from ipc_tpu.timestepper import IPCStepper, SimParams
+from ipc_tpu.contact.halfspace import HalfSpace, HalfSpaceParams
+from ipc_tpu.contact.pipeline import SelfContact
+from ipc_tpu.contact import selfcollision as SC
+from ipc_tpu.contact.ccd import accd_pt, accd_ee
+from ipc_tpu.contact.intersection import segment_triangle_intersects
+from ipc_tpu.ops import distance as D
+
+
+def _two_cube_scene(gap=0.004):
+    V1, T1 = cube(1)
+    V2, T2 = cube(1)
+    V2 = V2 + np.array([0.0, 1.0 + gap, 0.0])
+    V, T, comp, ranges = merge_meshes([(V1, T1), (V2, T2)])
+    return build_mesh(V, T, vert_comp=comp, comp_ranges=ranges)
+
+
+class TestBarrierOverCandidates:
+    def test_gradient_matches_fd(self):
+        mesh, meta = _two_cube_scene(gap=0.004)
+        sc = SelfContact(mesh, meta)
+        dHat = 1e-4  # activates the near pairs
+        x0 = np.asarray(mesh.x_rest)
+        rng = np.random.default_rng(0)
+        x0 = x0 + rng.uniform(-1e-3, 1e-3, x0.shape)
+        cand = sc.build_candidates(jnp.asarray(x0), jnp.zeros_like(mesh.x_rest), np.sqrt(dHat) * 2)
+        assert int(cand.pt_count) > 0
+
+        f = lambda x: sc.energy(x, cand, 1.0, dHat)
+        g = sc.gradient(jnp.asarray(x0), cand, 1.0, dHat)
+        # FD on a few random vertices
+        eps = 1e-7
+        for vi in rng.choice(len(x0), 6, replace=False):
+            for c in range(3):
+                xp = x0.copy()
+                xp[vi, c] += eps
+                xm = x0.copy()
+                xm[vi, c] -= eps
+                fd = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+                np.testing.assert_allclose(
+                    float(g[vi, c]), fd, rtol=5e-4, atol=1e-6 * max(1.0, abs(fd))
+                )
+
+    def test_hessian_blocks_psd(self):
+        mesh, meta = _two_cube_scene(gap=0.004)
+        sc = SelfContact(mesh, meta)
+        dHat = 1e-4
+        x = jnp.asarray(mesh.x_rest)
+        cand = sc.build_candidates(x, jnp.zeros_like(x), np.sqrt(dHat) * 2)
+        H_pt, H_ee = sc.hessian_blocks(x, cand, 1.0, dHat, True)
+        for H in [np.asarray(H_pt), np.asarray(H_ee)]:
+            if len(H) == 0:
+                continue
+            w = np.linalg.eigvalsh(0.5 * (H + np.transpose(H, (0, 2, 1))))
+            assert w.min() > -1e-8 * max(1.0, abs(w).max())
+
+    def test_mollifier_activates_for_parallel_edges(self):
+        # two nearly-parallel close edges -> ee_pair_energy < plain barrier
+        from ipc_tpu.ops.barrier import barrier
+
+        x4 = jnp.asarray(
+            [
+                [0.0, 0.0, 0.0],
+                [1.0, 0.0, 0.0],
+                [0.005, 0.002, 0.0],
+                [1.005, 0.002, 1e-5],
+            ]
+        )
+        eps_x = D.eps_x_ee(x4[0], x4[1], x4[2], x4[3])
+        e_moll = SC.ee_pair_energy(x4, eps_x, 1e-4)
+        ct, xs = SC.ee_reduce(x4)
+        b = barrier(D.stencil_dist2(ct, xs), 1e-4)
+        assert float(e_moll) < float(b)
+        assert float(e_moll) > 0.0
+
+
+class TestACCD:
+    def test_pt_head_on(self):
+        x4 = jnp.asarray(
+            [[0.25, 1.0, 0.25], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        p4 = jnp.asarray([[0.0, -2.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+        t = float(accd_pt(x4, p4, 0.2, 64))
+        # impact at t=0.5; conservative: t < 0.5, but close
+        assert 0.3 < t < 0.5
+        # verify no penetration at returned t
+        d = float(D.point_triangle_dist2(*(x4 + t * p4)))
+        assert d > 0
+
+    def test_ee_head_on(self):
+        x4 = jnp.asarray(
+            [[-1.0, 1.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, -1.0], [0.0, 0.0, 1.0]]
+        )
+        p4 = jnp.asarray(
+            [[0.0, -2.0, 0.0], [0.0, -2.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+        )
+        t = float(accd_ee(x4, p4, 0.2, 64))
+        assert 0.3 < t < 0.5
+        d = float(D.edge_edge_dist2(*(x4 + t * p4)))
+        assert d > 0
+
+    def test_no_collision_returns_one(self):
+        x4 = jnp.asarray(
+            [[0.0, 5.0, 0.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        p4 = jnp.asarray([[1.0, 1.0, 0.0]] * 4)  # rigid translation
+        assert float(accd_pt(x4, p4, 0.2, 64)) == 1.0
+        p4 = jnp.zeros((4, 3))
+        assert float(accd_pt(x4, p4, 0.2, 64)) == 1.0
+
+    def test_grazing_motion(self):
+        # moving parallel to the triangle plane above it: full step allowed
+        x4 = jnp.asarray(
+            [[0.25, 0.5, 0.25], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        p4 = jnp.asarray([[5.0, 0.0, 0.0], [0, 0, 0], [0, 0, 0], [0, 0, 0]])
+        t = float(accd_pt(x4, p4, 0.2, 64))
+        assert t == 1.0
+
+
+class TestIntersection:
+    def test_segment_through_triangle(self):
+        a, b, c = jnp.zeros(3), jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, 1.0])
+        p, q = jnp.asarray([0.2, 1.0, 0.2]), jnp.asarray([0.2, -1.0, 0.2])
+        assert bool(segment_triangle_intersects(p, q, a, b, c))
+        # miss: outside the triangle
+        p2, q2 = jnp.asarray([2.0, 1.0, 2.0]), jnp.asarray([2.0, -1.0, 2.0])
+        assert not bool(segment_triangle_intersects(p2, q2, a, b, c))
+        # same side: no crossing
+        p3, q3 = jnp.asarray([0.2, 1.0, 0.2]), jnp.asarray([0.3, 0.5, 0.3])
+        assert not bool(segment_triangle_intersects(p3, q3, a, b, c))
+
+
+class TestScenes:
+    def test_two_cubes_fall(self):
+        """Upper cube falls onto lower onto ground; no penetration ever."""
+        V1, T1 = cube(1)
+        V2, T2 = cube(1)
+        V1 = V1 + np.array([0.0, 0.002, 0.0])  # lower: just above the ground
+        V2 = V2 + np.array([0.0, 1.2, 0.0])  # upper: 0.2 above the lower top
+        V, T, comp, ranges = merge_meshes([(V1, T1), (V2, T2)])
+        mesh, meta = build_mesh(V, T, vert_comp=comp, comp_ranges=ranges)
+        hs = HalfSpace(HalfSpaceParams(friction=0.1))
+        sc = SelfContact(mesh, meta, friction=0.1)
+        st = IPCStepper(mesh, meta, SimParams(), halfspaces=[hs], self_contact=sc)
+        state = st.initial_state()
+        saw_contact = False
+        for i in range(35):
+            state, stats = st.step(state)
+            assert float(state.x[:, 1].min()) > 0.0
+            hit, _ = st._has_intersection(state.x)
+            assert not bool(hit), f"intersection at step {i}"
+            if stats.n_constraints and stats.n_constraints[-1] > 0:
+                saw_contact = True
+        assert saw_contact
+
+    def test_crossed_rods_ee(self):
+        """A rod dropped across another -> EE contacts must hold it up."""
+        V1, T1 = rod(3, length=1.0, width=0.12)  # along x
+        V1 = V1 + np.array([0.0, 0.0, 0.44])  # center its z-extent at 0.5
+        V2, T2 = rod(3, length=1.0, width=0.12)
+        # rotate rod2 to run along z, center it above rod1's midpoint so the
+        # crossing is at rod2's middle (stable support)
+        R = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]])
+        V2 = V2 @ R.T
+        V2 = V2 + np.array([0.5, 0.4, 0.5]) - (V2.min(0) + V2.max(0)) / 2
+        V, T, comp, ranges = merge_meshes([(V1, T1), (V2, T2)])
+        n1 = len(V1)
+        dbc = np.zeros(len(V), dtype=bool)
+        # pin rod1 ends so it can't translate away
+        xr = V[:n1, 0]
+        dbc[:n1] = (xr < 0.05) | (xr > 0.95)
+        # stiff rods (1e7) so the dropped rod doesn't drape around the support
+        mesh, meta = build_mesh(
+            V, T, ym=1e7, dbc_mask=dbc, vert_comp=comp, comp_ranges=ranges
+        )
+        sc = SelfContact(mesh, meta, friction=0.1)
+        st = IPCStepper(mesh, meta, SimParams(), halfspaces=[], self_contact=sc)
+        state = st.initial_state()
+        for i in range(30):
+            state, stats = st.step(state)
+            hit, _ = st._has_intersection(state.x)
+            assert not bool(hit), f"intersection at step {i}"
+        # rod2 must be held up by rod1 at the crossing: its vertices above
+        # rod1's span must stay above rod1's top region
+        x = np.asarray(state.x)
+        x2 = x[n1:]
+        over = (x2[:, 2] > 0.25) & (x2[:, 2] < 0.75)  # nodes adjacent to the crossing
+        assert over.any()
+        assert x2[over, 1].min() > 0.08, x2[over, 1].min()
