@@ -101,16 +101,23 @@ def pt_candidates(x, surf_verts, surf_tris, dbc_mask, cap, disp=None, gap=0.0):
     return overlap_pairs(vb, tb, valid, cap)
 
 
-def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0):
+def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0, dbc_mask=None):
     """Edge-triangle candidates for the intersection failsafe: (cap,2) of
     (eI, sfI), excluding pairs sharing a vertex (adjacent geometry is
-    degenerate for the parity test)."""
+    degenerate for the parity test) and all-DBC pairs (kinematic geometry
+    is never checked against itself, matching the reference which only
+    runs checkEdgeTriIntersection deformable-vs-CO and self)."""
     eb = edge_aabbs(x, surf_edges, disp, gap)
     tb = tri_aabbs(x, surf_tris, disp, gap)
     shared = jnp.any(
         surf_edges[:, None, :, None] == surf_tris[None, :, None, :], axis=(2, 3)
     )
-    return overlap_pairs(eb, tb, ~shared, cap)
+    valid = ~shared
+    if dbc_mask is not None:
+        e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
+        t_dbc = jnp.all(dbc_mask[surf_tris], axis=1)
+        valid = valid & ~(e_dbc[:, None] & t_dbc[None, :])
+    return overlap_pairs(eb, tb, valid, cap)
 
 
 def ee_candidates(x, surf_edges, dbc_mask, cap, disp=None, gap=0.0):

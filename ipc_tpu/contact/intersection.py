@@ -20,17 +20,20 @@ def _orient(a, b, c, d):
 
 
 def segment_triangle_intersects(p, q, a, b, c):
-    """True if segment (p,q) intersects triangle (a,b,c) (conservative on
-    degeneracy: zero volumes count as intersecting)."""
+    """True if segment (p,q) PROPERLY crosses triangle (a,b,c): the
+    endpoints lie strictly on opposite sides of the plane and the segment
+    passes through the (closed) triangle. Coplanar/touching configurations
+    return False — the barrier + CCD keep states strictly separated, and a
+    flat kinematic obstacle is exactly coplanar with its own edges forever
+    (which a closed-sign test would flag every step)."""
     v_p = _orient(a, b, c, p)
     v_q = _orient(a, b, c, q)
-    # segment endpoints strictly on the same side -> no intersection
-    same_side = v_p * v_q > 0.0
+    crosses = v_p * v_q < 0.0  # strictly opposite sides
     s1 = _orient(p, q, a, b)
     s2 = _orient(p, q, b, c)
     s3 = _orient(p, q, c, a)
     inside = ((s1 >= 0) & (s2 >= 0) & (s3 >= 0)) | ((s1 <= 0) & (s2 <= 0) & (s3 <= 0))
-    return (~same_side) & inside
+    return crosses & inside
 
 
 def any_edge_tri_intersection(x, edge_vids, tri_vids, pairs, valid):

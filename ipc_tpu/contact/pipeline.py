@@ -60,10 +60,14 @@ jax.tree_util.register_dataclass(
 class SelfContact:
     """Per-scene self-contact handler with capacity management."""
 
-    def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None):
+    def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None,
+                 vert_mu=None):
         self.mesh = mesh
         self.meta = meta
         self.friction = friction
+        # (V,) per-vertex CO friction coefficients (0 on deformable verts);
+        # pairs touching a CO vertex use the CO's mu instead of selfFric
+        self.vert_mu = vert_mu
         nS = int(mesh.surf_tris.shape[0])
         nE = int(mesh.surf_edges.shape[0])
         nV = int(mesh.surf_verts.shape[0])
@@ -146,6 +150,7 @@ class SelfContact:
         return SC.capture_friction(
             x, cand.pt_vids, cand.pt_valid, cand.ee_vids, cand.ee_valid,
             cand.ee_eps_x, kappa, dHat,
+            vert_mu=self.vert_mu, self_mu=self.friction,
         )
 
     def n_active(self, x, cand: Candidates, dHat):
@@ -189,7 +194,7 @@ class SelfContact:
     def has_intersection(self, x):
         mesh = self.mesh
         pairs, count = BP.et_candidates(
-            x, mesh.surf_edges, mesh.surf_tris, self.cap_et
+            x, mesh.surf_edges, mesh.surf_tris, self.cap_et, dbc_mask=mesh.dbc_mask
         )
         valid = pairs[:, 0] >= 0
         hit = any_edge_tri_intersection(

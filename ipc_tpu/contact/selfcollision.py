@@ -202,16 +202,23 @@ def barrier_hessian_blocks(
 # ---------------------------------------------------------------------------
 
 
-def capture_friction(x, pt_vids, pt_valid, ee_vids, ee_valid, ee_eps_x, kappa, dHat):
+def capture_friction(x, pt_vids, pt_valid, ee_vids, ee_valid, ee_eps_x, kappa, dHat,
+                     vert_mu=None, self_mu=1.0):
     """Capture lagged friction state at the outer iterate x.
 
     Returns a dict of fixed-shape arrays over ALL candidates (PT then EE):
       vids (C,4) reduced-stencil global vertex ids (pad 0)
-      ctype (C,), lam (C,) >= 0 (zero for inactive/mollified pairs),
+      ctype (C,), lam (C,) >= 0 (zero for inactive/mollified pairs) with the
+      PER-PAIR friction coefficient folded in,
       coords (C,2) closest-point coordinates, basis (C,3,2) tangent bases.
     Mollified (nearly-parallel) EE pairs get lam = 0: the reference excludes
     the paraEE set from friction (fullyImplicit_IP captures lambdas from
     MMActiveSet only, Optimizer.cpp:1580-1605).
+
+    Per-pair mu: a pair touching a kinematic CO vertex uses that CO's
+    friction coefficient (reference MeshCO carries its own `friction`),
+    otherwise self_mu (reference selfFric). vert_mu is a (V,) array of CO
+    coefficients, 0 on deformable vertices.
     """
     from ipc_tpu.ops import friction as FR
 
@@ -237,12 +244,19 @@ def capture_friction(x, pt_vids, pt_valid, ee_vids, ee_valid, ee_eps_x, kappa, d
 
     pv, pc, pl, pco, pb = jax.vmap(one_pt)(_gather4(x, pt_vids), pt_vids)
     ev, ec, el, eco, eb = jax.vmap(one_ee)(_gather4(x, ee_vids), ee_vids, ee_eps_x)
+    vids = jnp.concatenate([pv, ev])
+    lam = jnp.concatenate(
+        [jnp.where(pt_valid, pl, 0.0), jnp.where(ee_valid, el, 0.0)]
+    )
+    if vert_mu is not None:
+        co_mu = vert_mu[vids].max(axis=1)
+        mu_pair = jnp.where(co_mu > 0.0, co_mu, self_mu)
+    else:
+        mu_pair = self_mu
     return dict(
-        vids=jnp.concatenate([pv, ev]),
+        vids=vids,
         ctype=jnp.concatenate([pc, ec]),
-        lam=jnp.concatenate(
-            [jnp.where(pt_valid, pl, 0.0), jnp.where(ee_valid, el, 0.0)]
-        ),
+        lam=lam * mu_pair,
         coords=jnp.concatenate([pco, eco]),
         basis=jnp.concatenate([pb, eb]),
     )

@@ -232,7 +232,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             else:
                 hs_lams.append(None)
         sc_state = None
-        if sc is not None and sc.friction > 0.0:
+        if sc is not None and (sc.friction > 0.0 or sc.vert_mu is not None):
             sc_state = sc.capture_friction(x, cand, kappa, dHat)
         return dict(
             hs=hs_lams,

@@ -27,7 +27,14 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["MeshData", "MeshMeta", "build_mesh", "lame_params", "merge_meshes"]
+__all__ = [
+    "MeshData",
+    "MeshMeta",
+    "build_mesh",
+    "lame_params",
+    "merge_meshes",
+    "append_kinematic_surface",
+]
 
 
 @dataclass(frozen=True)
@@ -203,6 +210,93 @@ def build_mesh(
         vert_comp=jnp.asarray(vert_comp, np.int32),
     )
     return data, meta
+
+
+def append_kinematic_surface(mesh, meta, V_co, tris=None, edges=None, dtype=None):
+    """Append a kinematic collision object's surface to the scene mesh.
+
+    The TPU-native MeshCO<3> (reference src/CollisionObject/MeshCO.*): the
+    obstacle's vertices join the global vertex array as tet-less,
+    Dirichlet-constrained surface geometry, so the ONE self-contact pipeline
+    handles deformable-vs-CO contacts (the reference instead duplicates the
+    entire contact API per CO, MeshCO.cpp:407-2700). CO verts get the scene's
+    average node mass (their rows are identity-projected anyway), and
+    CO-vs-CO pairs are excluded by the existing all-DBC candidate filter
+    (SelfCollisionHandler.cpp:2184-2189 analog).
+
+    Returns (new MeshData, new MeshMeta, (v_start, v_end) of the CO verts).
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or mesh.x_rest.dtype
+    V_co = np.asarray(V_co, dtype=np.float64)
+    n_old = int(mesh.x_rest.shape[0])
+    n_co = len(V_co)
+
+    tris = np.zeros((0, 3), np.int64) if tris is None else np.asarray(tris, np.int64)
+    if edges is None:
+        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
+        edges = np.unique(np.sort(e, axis=1), axis=0) if len(e) else np.zeros((0, 2), np.int64)
+    else:
+        edges = np.asarray(edges, np.int64)
+    sv_co = (
+        np.unique(np.concatenate([tris.reshape(-1), edges.reshape(-1)]))
+        if (len(tris) or len(edges))
+        else np.arange(n_co)
+    )
+
+    x_rest = jnp.concatenate([mesh.x_rest, jnp.asarray(V_co, dtype)])
+    mass = jnp.concatenate(
+        [mesh.mass, jnp.full((n_co,), meta.avg_node_mass, dtype)]
+    )
+    surf_tris = jnp.concatenate(
+        [mesh.surf_tris, jnp.asarray(tris + n_old, np.int32)]
+    )
+    surf_edges = jnp.concatenate(
+        [mesh.surf_edges, jnp.asarray(edges + n_old, np.int32)]
+    )
+    surf_verts = jnp.concatenate(
+        [mesh.surf_verts, jnp.asarray(sv_co + n_old, np.int32)]
+    )
+    dbc_mask = jnp.concatenate([mesh.dbc_mask, jnp.ones((n_co,), bool)])
+    comp_id = int(np.asarray(mesh.vert_comp).max()) + 1 if n_old else 0
+    vert_comp = jnp.concatenate(
+        [mesh.vert_comp, jnp.full((n_co,), comp_id, np.int32)]
+    )
+
+    new_mesh = MeshData(
+        x_rest=x_rest,
+        tets=mesh.tets,
+        rest_inv=mesh.rest_inv,
+        vol=mesh.vol,
+        mass=mass,
+        mu=mesh.mu,
+        lam=mesh.lam,
+        surf_tris=surf_tris,
+        surf_edges=surf_edges,
+        surf_verts=surf_verts,
+        dbc_mask=dbc_mask,
+        vert_comp=vert_comp,
+    )
+    new_meta = MeshMeta(
+        n_verts=n_old + n_co,
+        n_tets=meta.n_tets,
+        bbox=np.stack(
+            [
+                np.minimum(meta.bbox[0], V_co.min(axis=0)),
+                np.maximum(meta.bbox[1], V_co.max(axis=0)),
+            ]
+        )
+        if n_co
+        else meta.bbox,
+        bbox_diag2=meta.bbox_diag2,  # reference uses the DEFORMABLE mat-space
+        # bbox for dHat/kappa scaling (Optimizer.cpp:101 matSpaceBBoxSize2)
+        avg_edge_len=meta.avg_edge_len,
+        avg_node_mass=meta.avg_node_mass,
+        comp_ranges=meta.comp_ranges + [(n_old, n_old + n_co)],
+        dbc_is_zero=meta.dbc_is_zero,
+    )
+    return new_mesh, new_meta, (n_old, n_old + n_co)
 
 
 def merge_meshes(parts):

@@ -16,7 +16,7 @@ from ipc_tpu import io_mesh
 from ipc_tpu.config import Config, load_config, save_config
 from ipc_tpu.contact.halfspace import HalfSpace, HalfSpaceParams
 from ipc_tpu.contact.pipeline import SelfContact
-from ipc_tpu.mesh import build_mesh
+from ipc_tpu.mesh import append_kinematic_surface, build_mesh
 from ipc_tpu.scripting import build_script
 from ipc_tpu.timestepper import IPCStepper, SimParams
 from ipc_tpu.utils.observability import RunLogger, load_status, save_status
@@ -124,9 +124,29 @@ class Simulation:
             HalfSpace(HalfSpaceParams(origin=h.origin, normal=h.normal, friction=h.friction))
             for h in cfg.halfspaces
         ]
+        # kinematic mesh collision objects (reference MeshCO<3>): appended
+        # as Dirichlet surface-only geometry; contacts + friction flow
+        # through the one self-contact pipeline with per-vertex mu
+        import jax.numpy as jnp
+
+        vert_mu = None
+        self.mesh_co_ranges = []
+        if cfg.mesh_cos:
+            mu_parts = [np.zeros(meta.n_verts)]
+            for co in cfg.mesh_cos:
+                Vc, Fc = io_mesh.read_obj(co.path)
+                Vc = (co.rotate @ (Vc * co.scale).T).T + co.origin[None, :]
+                mesh, meta, rng = append_kinematic_surface(mesh, meta, Vc, Fc, dtype=dtype)
+                mu_parts.append(np.full(rng[1] - rng[0], co.friction))
+                self.mesh_co_ranges.append(rng)
+            vert_mu = jnp.asarray(np.concatenate(mu_parts), mesh.x_rest.dtype)
+            self.mesh, self.meta = mesh, meta
+            # script arrays must cover the appended CO vertices
+            script.n_verts = meta.n_verts
+
         sc = None
-        if cfg.self_collision and len(mesh.surf_tris) > 0:
-            sc = SelfContact(mesh, meta, friction=cfg.self_fric)
+        if (cfg.self_collision or cfg.mesh_cos) and len(mesh.surf_tris) > 0:
+            sc = SelfContact(mesh, meta, friction=cfg.self_fric, vert_mu=vert_mu)
 
         p = dict(
             dt=cfg.dt,
@@ -137,9 +157,16 @@ class Simulation:
             time_integration=cfg.time_integration,
             nm_beta=cfg.nm_beta,
             nm_gamma=cfg.nm_gamma,
+            damping_stiff=cfg.damping_stiff,
         )
         if cfg.tuning:
+            # tuning = [kappa, dHatEps, dHatTarget, dTolRel, fricDHat0,
+            #           fricDHatTarget] (reference Optimizer.cpp:274-313)
             p["kappa"] = cfg.tuning[0]
+            if len(cfg.tuning) > 1:
+                p["dhat_rel"] = cfg.tuning[1]
+            if len(cfg.tuning) > 3:
+                p["dtol_rel"] = cfg.tuning[3]
         if cfg.dhat is not None:
             # keyword dHat is in sqrt-units; internal is squared. When
             # useAbsParameters the value is absolute (Optimizer.cpp:274-282).

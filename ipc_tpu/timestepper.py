@@ -77,6 +77,7 @@ class SimParams:
     time_integration: str = "BE"
     nm_beta: float = 0.25
     nm_gamma: float = 0.5
+    damping_stiff: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -128,6 +129,10 @@ class IPCStepper:
         self.dtype = mesh.x_rest.dtype
         self.dt = params.dt
         self.dtSq = params.dt * params.dt
+        # elasticity/NBC weight: h^2 (BE) or beta h^2 (Newmark; reference
+        # computeEnergyVal TIT_NM branch, Optimizer.cpp:3216-3224)
+        self.is_nm = params.time_integration == "NM"
+        self.w_el = self.dtSq * (params.nm_beta if self.is_nm else 1.0)
         self.bbox_diag2 = meta.bbox_diag2
         self.dHat = (params.dhat_rel**2) * self.bbox_diag2
         self.dTol = (params.dtol_rel**2) * self.bbox_diag2
@@ -140,7 +145,8 @@ class IPCStepper:
         self._sv = mesh.surf_verts
         self._dbc_sv = mesh.dbc_mask[mesh.surf_verts]
         self._solve_fric = any(hs.params.friction > 0.0 for hs in self.halfspaces) or (
-            self.sc is not None and self.sc.friction > 0.0
+            self.sc is not None
+            and (self.sc.friction > 0.0 or self.sc.vert_mu is not None)
         )
 
         self._build_kernels()
@@ -185,12 +191,12 @@ class IPCStepper:
     def _build_kernels(self):
         mesh = self.mesh
         p = self.p
-        dtSq = self.dtSq
+        dtSq = self.w_el
         model = p.model
         sv = self._sv
         sc = self.sc
 
-        def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None):
+        def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
             E = dtSq * EL.elasticity_energy(x, mesh, model)
             dx = x - x_tilde
             E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dx * dx)
@@ -205,9 +211,18 @@ class IPCStepper:
             if sc is not None and cand is not None:
                 E = E + sc.energy(x, cand, kappa, dHat)
             E = E + self._friction_energy(x, fric)
+            if damp is not None:
+                # lagged Rayleigh damping 1/2 dx^T A dx with A = the SPD
+                # elasticity Hessian at the last committed state scaled by
+                # dampingStiff/dt (reference computeDampingMtr + energy term
+                # Optimizer.cpp:3381-3400)
+                dxd = jnp.where(mesh.dbc_mask[:, None], 0.0, x - damp["x_ref"])
+                v4 = dxd[mesh.tets].reshape(-1, 12)
+                Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
+                E = E + 0.5 * jnp.sum(v4 * Av)
             return E
 
-        def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None):
+        def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
             g = dtSq * EL.elasticity_gradient(x, mesh, model)
             g = g + mesh.mass[:, None] * (x - x_tilde)
             if fext is not None:
@@ -220,10 +235,15 @@ class IPCStepper:
             if sc is not None and cand is not None:
                 g = g + sc.gradient(x, cand, kappa, dHat)
             g = g + self._friction_gradient(x, fric)
+            if damp is not None:
+                dxd = jnp.where(mesh.dbc_mask[:, None], 0.0, x - damp["x_ref"])
+                v4 = dxd[mesh.tets].reshape(-1, 12)
+                Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
+                g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
             return jnp.where(mesh.dbc_mask[:, None], 0.0, g)
 
-        def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None):
-            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext)
+        def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
+            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext, damp)
             Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
             x_sv = x[sv]
             Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
@@ -351,7 +371,7 @@ class IPCStepper:
             from ipc_tpu.contact import selfcollision as SCmod
 
             E = E + SCmod.friction_energy(
-                fric["sc"], x, fric["anchor"], fric["eps2"], self.sc.friction
+                fric["sc"], x, fric["anchor"], fric["eps2"], 1.0
             )
         return E
 
@@ -369,7 +389,7 @@ class IPCStepper:
             from ipc_tpu.contact import selfcollision as SCmod
 
             g = g + SCmod.friction_gradient(
-                fric["sc"], x, fric["anchor"], fric["eps2"], self.sc.friction, x.shape[0]
+                fric["sc"], x, fric["anchor"], fric["eps2"], 1.0, x.shape[0]
             )
         return g
 
@@ -401,7 +421,7 @@ class IPCStepper:
             from ipc_tpu.contact import selfcollision as SCmod
 
             Hs = SCmod.friction_hessian_blocks(
-                fric["sc"], x, fric["anchor"], fric["eps2"], self.sc.friction
+                fric["sc"], x, fric["anchor"], fric["eps2"], 1.0
             )
             out.append((fric["sc"]["vids"], Hs))
         return out
@@ -419,7 +439,11 @@ class IPCStepper:
             else:
                 hs_lams.append(None)
         sc_state = None
-        if self.sc is not None and self.sc.friction > 0.0 and cand is not None:
+        if (
+            self.sc is not None
+            and (self.sc.friction > 0.0 or self.sc.vert_mu is not None)
+            and cand is not None
+        ):
             sc_state = self.sc.capture_friction(x, cand, kappa, dHat)
         return dict(
             hs=hs_lams,
@@ -434,7 +458,18 @@ class IPCStepper:
 
     def compute_x_tilde(self, state: SimState):
         g = jnp.asarray(self.gravity, self.dtype)
-        xt = state.x_prev + self.dt * state.v + self.dtSq * g[None, :]
+        if self.is_nm:
+            # Newmark predictor (reference computeXTilta TIT_NM branch,
+            # Optimizer.cpp:1262-1276)
+            beta = self.p.nm_beta
+            xt = (
+                state.x_prev
+                + self.dt * state.v
+                + beta * self.dtSq * g[None, :]
+                + (0.5 - beta) * self.dtSq * state.a
+            )
+        else:
+            xt = state.x_prev + self.dt * state.v + self.dtSq * g[None, :]
         # DBC rows: hold at the current (possibly scripted) position
         # (reference computeXTilta uses V_prev for DBC; scripted motion has
         # already moved x by the time the solve starts)
@@ -512,9 +547,19 @@ class IPCStepper:
 
         fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
 
+        damp = None
+        if self.p.damping_stiff > 0.0:
+            # A = (dampingStiff / dt) * H_psi at the last committed state
+            # (reference computeDampingMtr: coef = energyParams *
+            # dampingStiff / dt, WITHOUT the dtSq of the Newton Hessian)
+            blocks = (self.p.damping_stiff / self.dt) * EL.elasticity_hessian_blocks(
+                state.x_prev, self.mesh, self.p.model, True
+            )
+            damp = dict(blocks=blocks, x_ref=state.x_prev)
+
         fric_iter = 0
         while True:
-            x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose, fext)
+            x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose, fext, damp)
             fric_iter += 1
             if not self._solve_fric or (p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt):
                 break
@@ -523,23 +568,30 @@ class IPCStepper:
 
         stats.kappa = kappa
 
-        # BE velocity update; DBC vertices carry their scripted velocity
-        # (reference Optimizer::solve :570-596 updates all rows uniformly)
-        v_new = (x - state.x_prev) / self.dt
+        # integrator update (reference Optimizer::solve :570-596)
+        if self.is_nm:
+            g = jnp.asarray(self.gravity, self.dtype)
+            beta, gamma = self.p.nm_beta, self.p.nm_gamma
+            v_new = state.v + self.dt * (1.0 - gamma) * state.a
+            a_new = (x - x_tilde) / (self.dtSq * beta) + g[None, :]
+            v_new = v_new + self.dt * gamma * a_new
+        else:
+            v_new = (x - state.x_prev) / self.dt
+            a_new = (v_new - state.v) / self.dt
         return (
             SimState(
-                x=x, x_prev=x, v=v_new, a=state.a, t=state.t + self.dt, step=state.step + 1
+                x=x, x_prev=x, v=v_new, a=a_new, t=state.t + self.dt, step=state.step + 1
             ),
             stats,
         )
 
-    def _solve_sub_ip(self, x, x_tilde, kappa, dHat, fric, stats, verbose, fext=None):
+    def _solve_sub_ip(self, x, x_tilde, kappa, dHat, fric, stats, verbose, fext=None, damp=None):
         """Newton loop (reference solveSub_IP, Optimizer.cpp:1821-2213)."""
         p = self.p
         close_d2 = None
         for k in range(p.max_newton):
             cand = self._candidates(x)
-            dx, g, pcg_iters, pcg_rel = self._search_dir(x, x_tilde, kappa, dHat, cand, fric, fext)
+            dx, g, pcg_iters, pcg_rel = self._search_dir(x, x_tilde, kappa, dHat, cand, fric, fext, damp)
             dist_to_opt = float(jnp.abs(dx).max())
             stats.grad_inf.append(float(jnp.abs(g).max()))
             stats.pcg_iters.append(int(pcg_iters))
@@ -560,10 +612,10 @@ class IPCStepper:
                 raise RuntimeError("feasible step size is 0 (CCD)")
 
             # backtracking line search (Armijo c1=0, reference lineSearch)
-            E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext))
+            E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext, damp))
             while True:
                 x_new = x + alpha * dx
-                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext))
+                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext, damp))
                 if E_new <= E0 or alpha < 1e-12:
                     break
                 alpha *= 0.5
