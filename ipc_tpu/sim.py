@@ -165,6 +165,8 @@ class Simulation:
             p["kappa"] = cfg.tuning[0]
             if len(cfg.tuning) > 1:
                 p["dhat_rel"] = cfg.tuning[1]
+            if len(cfg.tuning) > 2:
+                p["dhat_target_rel"] = cfg.tuning[2]
             if len(cfg.tuning) > 3:
                 p["dtol_rel"] = cfg.tuning[3]
         if cfg.dhat is not None:

@@ -74,6 +74,8 @@ class SimParams:
     ccd_slackness_a: float = 0.9  # analytic CO step slack (solveSub_IP :1885)
     ccd_slackness_m: float = 0.8  # mesh CCD: keep 1-slackness of the gap
     ccd_max_iter: int = 64
+    dhat_target_rel: float = 1e-3  # sqrt-units; homotopy stops here
+                                   # (reference dHatTarget, Optimizer.cpp:283-289)
     time_integration: str = "BE"
     nm_beta: float = 0.25
     nm_gamma: float = 0.5
@@ -135,6 +137,7 @@ class IPCStepper:
         self.w_el = self.dtSq * (params.nm_beta if self.is_nm else 1.0)
         self.bbox_diag2 = meta.bbox_diag2
         self.dHat = (params.dhat_rel**2) * self.bbox_diag2
+        self.dHat_target = (params.dhat_target_rel**2) * self.bbox_diag2
         self.dTol = (params.dtol_rel**2) * self.bbox_diag2
         self.target_gres = np.sqrt(params.rel_gl2_tol * self.bbox_diag2 * self.dtSq)
         self.epsv_h = params.epsv_rel * np.sqrt(self.bbox_diag2) * params.dt
@@ -557,14 +560,27 @@ class IPCStepper:
             )
             damp = dict(blocks=blocks, x_ref=state.x_prev)
 
+        # outer homotopy/friction loop (reference fullyImplicit_IP
+        # :1613-1787): with the default config dHat == dHatTarget so the
+        # dHat branch is a no-op and fricIterAmt bounds the friction loop
         fric_iter = 0
         while True:
             x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose, fext, damp)
             fric_iter += 1
-            if not self._solve_fric or (p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt):
+            update_dhat = dHat > self.dHat_target * (1.0 + 1e-12)
+            update_fric = self._solve_fric and not (
+                p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt
+            )
+            if not update_dhat and not update_fric:
                 break
-            cand = self._candidates(x)
-            fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
+            if update_dhat:
+                dHat = max(dHat * 0.5, self.dHat_target)
+                if p.adaptive_kappa:
+                    cand = self._candidates(x)
+                    kappa = self.init_kappa(x, x_tilde, kappa, dHat, cand, fric)
+            if update_fric or update_dhat:
+                cand = self._candidates(x)
+                fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
 
         stats.kappa = kappa
 
