@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ipc_tpu.contact import broadphase as BP
 from ipc_tpu.contact import selfcollision as SC
+from ipc_tpu.contact import spatial_hash as SH
 from ipc_tpu.contact.ccd import accd_ee, accd_pt
 from ipc_tpu.contact.intersection import any_edge_tri_intersection
 from ipc_tpu.ops.distance import eps_x_ee
@@ -40,6 +41,7 @@ class Candidates:
     ee_eps_x: Any  # (Cee,) mollifier thresholds (rest-shape)
     pt_count: Any  # true counts (int32) for overflow detection
     ee_count: Any
+    bucket_overflow: Any  # max grid-bucket occupancy (grid broadphase only)
 
 
 jax.tree_util.register_dataclass(
@@ -52,6 +54,7 @@ jax.tree_util.register_dataclass(
         "ee_eps_x",
         "pt_count",
         "ee_count",
+        "bucket_overflow",
     ],
     meta_fields=[],
 )
@@ -60,8 +63,12 @@ jax.tree_util.register_dataclass(
 class SelfContact:
     """Per-scene self-contact handler with capacity management."""
 
+    # above this many primitives per side, the dense O(Na*Nb) overlap mask
+    # is replaced by the sort-based spatial hash (contact/spatial_hash.py)
+    DENSE_LIMIT = 4096
+
     def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None,
-                 vert_mu=None):
+                 vert_mu=None, broadphase=None, grid_K=32):
         self.mesh = mesh
         self.meta = meta
         self.friction = friction
@@ -71,6 +78,10 @@ class SelfContact:
         nS = int(mesh.surf_tris.shape[0])
         nE = int(mesh.surf_edges.shape[0])
         nV = int(mesh.surf_verts.shape[0])
+        if broadphase is None:
+            broadphase = "grid" if max(nS, nE, nV) > self.DENSE_LIMIT else "dense"
+        self.broadphase = broadphase
+        self.grid_K = grid_K
         # generous initial caps; grown on overflow
         self.cap_pt = int(cap_pt or max(64, 8 * nV))
         self.cap_ee = int(cap_ee or max(64, 8 * nE))
@@ -83,12 +94,24 @@ class SelfContact:
         """Broad phase + stencil assembly. gap defaults to sqrt(dHat) set by
         the caller; disp sweeps the AABBs for CCD-covering candidate sets."""
         mesh = self.mesh
-        pt_pairs, pt_count = BP.pt_candidates(
-            x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, self.cap_pt, disp, gap
-        )
-        ee_pairs, ee_count = BP.ee_candidates(
-            x, mesh.surf_edges, mesh.dbc_mask, self.cap_ee, disp, gap
-        )
+        if self.broadphase == "grid":
+            pt_pairs, pt_count, ov1 = SH.pt_candidates(
+                x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, self.cap_pt,
+                disp, gap, K=self.grid_K,
+            )
+            ee_pairs, ee_count, ov2 = SH.ee_candidates(
+                x, mesh.surf_edges, mesh.dbc_mask, self.cap_ee, disp, gap,
+                K=self.grid_K,
+            )
+            bucket_overflow = jnp.maximum(ov1, ov2)
+        else:
+            pt_pairs, pt_count = BP.pt_candidates(
+                x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, self.cap_pt, disp, gap
+            )
+            ee_pairs, ee_count = BP.ee_candidates(
+                x, mesh.surf_edges, mesh.dbc_mask, self.cap_ee, disp, gap
+            )
+            bucket_overflow = jnp.asarray(0, jnp.int32)
         pt_valid = pt_pairs[:, 0] >= 0
         ee_valid = ee_pairs[:, 0] >= 0
         svI = jnp.maximum(pt_pairs[:, 0], 0)
@@ -111,6 +134,7 @@ class SelfContact:
             ee_eps_x=ee_eps_x,
             pt_count=pt_count,
             ee_count=ee_count,
+            bucket_overflow=bucket_overflow,
         )
 
     def ensure_caps(self, cand: Candidates):
@@ -124,6 +148,12 @@ class SelfContact:
         if ee_count > self.cap_ee:
             self.cap_ee = int(ee_count * 1.5) + 64
             grew = True
+        if self.broadphase == "grid":
+            ov = int(cand.bucket_overflow)
+            if ov > self.grid_K:
+                # bucket saturation silently drops candidates: grow K
+                self.grid_K = int(ov * 1.5) + 8
+                grew = True
         return grew
 
     # -- energy/derivatives (thin wrappers over selfcollision) -------------
@@ -191,11 +221,39 @@ class SelfContact:
 
     # -- intersection failsafe ---------------------------------------------
 
+    def et_pairs(self, x, disp=None):
+        """Swept edge-triangle candidate pairs for the intersection
+        failsafe: built once per Newton iteration, the per-trial predicate
+        is then O(pairs) (vs a full broad phase per line-search trial)."""
+        mesh = self.mesh
+        if self.broadphase == "grid":
+            pairs, count, _ = SH.et_candidates(
+                x, mesh.surf_edges, mesh.surf_tris, self.cap_et, disp=disp,
+                dbc_mask=mesh.dbc_mask, K=self.grid_K,
+            )
+        else:
+            pairs, count = BP.et_candidates(
+                x, mesh.surf_edges, mesh.surf_tris, self.cap_et, disp=disp,
+                dbc_mask=mesh.dbc_mask,
+            )
+        return pairs, pairs[:, 0] >= 0, count
+
+    def intersects_pairs(self, x, pairs, valid):
+        return any_edge_tri_intersection(
+            x, self.mesh.surf_edges, self.mesh.surf_tris, pairs, valid
+        )
+
     def has_intersection(self, x):
         mesh = self.mesh
-        pairs, count = BP.et_candidates(
-            x, mesh.surf_edges, mesh.surf_tris, self.cap_et, dbc_mask=mesh.dbc_mask
-        )
+        if self.broadphase == "grid":
+            pairs, count, _ = SH.et_candidates(
+                x, mesh.surf_edges, mesh.surf_tris, self.cap_et,
+                dbc_mask=mesh.dbc_mask, K=self.grid_K,
+            )
+        else:
+            pairs, count = BP.et_candidates(
+                x, mesh.surf_edges, mesh.surf_tris, self.cap_et, dbc_mask=mesh.dbc_mask
+            )
         valid = pairs[:, 0] >= 0
         hit = any_edge_tri_intersection(
             x, mesh.surf_edges, mesh.surf_tris, pairs, valid

@@ -183,7 +183,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         )
         return dx, g
 
-    def feasible_alpha(x, dx):
+    def feasible_alpha_local(x, dx):
+        """Inversion cubic + analytic half-space bound (no mesh CCD)."""
         alpha = jnp.asarray(1.0, dtype)
         alpha = jnp.minimum(alpha, EL.filter_step_size(x, dx, mesh, p.model))
         x_sv = x[sv]
@@ -192,13 +193,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             alpha = jnp.minimum(
                 alpha, hs.largest_feasible_step(x_sv, p_sv, dbc_sv, p.ccd_slackness_a)
             )
-        if sc is not None:
-            cand_sweep = build_cand(x, alpha * dx)
-            t = sc.ccd_alpha(x, alpha * dx, cand_sweep, 1.0 - p.ccd_slackness_m, p.ccd_max_iter)
-            alpha = alpha * t
-        else:
-            cand_sweep = None
-        return alpha, cand_sweep
+        return alpha
 
     def init_kappa(x, x_tilde, cand):
         """Device initKappa: balance unit-kappa contact gradient."""
@@ -241,20 +236,36 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             eps2=jnp.asarray(stepper.fric_dhat, dtype),
         )
 
-    def newton_solve(x, x_tilde, kappa, fric):
+    def newton_solve(x, x_tilde, kappa, fric, cand0):
+        """Newton loop with candidate carrying: the swept candidate set
+        built in iteration k (gap sqrt(dHat), swept along the accepted
+        step) provably covers every pair within sqrt(dHat) of iterate
+        k+1, so ONE broad phase per iteration serves the next gradient/
+        Hessian, the CCD, and every line-search trial (the reference
+        instead rebuilds its hash per iteration AND per trial,
+        Optimizer.cpp:2766-2805)."""
+
         def cond(c):
             return (~c["done"]) & (c["k"] < max_newton)
 
         def body(c):
             x = c["x"]
-            cand = build_cand(x, jnp.zeros_like(x))
+            cand = c["cand"]
             dx, g = search_dir(x, x_tilde, kappa, cand, fric)
             dist = jnp.abs(dx).max()
             converged = (c["k"] > 0) & (dist < target_gres)
 
-            alpha0, cand_sweep = feasible_alpha(x, dx)
-            cand_ls = cand_sweep if cand_sweep is not None else cand
-            E0 = energy(x, x_tilde, kappa, cand_ls, fric)
+            alpha0 = feasible_alpha_local(x, dx)
+            if sc is not None:
+                cand_sweep = build_cand(x, alpha0 * dx)
+                t = sc.ccd_alpha(
+                    x, alpha0 * dx, cand_sweep, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
+                )
+                alpha0 = alpha0 * t
+                et_p, et_v, _ = sc.et_pairs(x, alpha0 * dx)
+            else:
+                cand_sweep = cand
+            E0 = energy(x, x_tilde, kappa, cand_sweep, fric)
 
             def ls_cond(ls):
                 alpha, j, ok = ls
@@ -263,11 +274,10 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             def ls_body(ls):
                 alpha, j, ok = ls
                 x_try = x + alpha * dx
-                E_try = energy(x_try, x_tilde, kappa, cand_ls, fric)
+                E_try = energy(x_try, x_tilde, kappa, cand_sweep, fric)
                 good = E_try <= E0
                 if sc is not None:
-                    hit, _ = sc.has_intersection(x_try)
-                    good = good & (~hit)
+                    good = good & (~sc.intersects_pairs(x_try, et_p, et_v))
                 alpha_next = jnp.where(good, alpha, alpha * 0.5)
                 return alpha_next, j + 1, good
 
@@ -275,11 +285,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 ls_cond, ls_body, (alpha0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
             )
             x_new = x + alpha * dx
-            E_new = energy(x_new, x_tilde, kappa, cand_ls, fric)
+            E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric)
 
             take = ~converged
             return dict(
                 x=jnp.where(take, x_new, x),
+                cand=cand_sweep,
                 k=c["k"] + jnp.where(take, 1, 0),
                 done=converged,
                 dist=dist,
@@ -291,6 +302,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
 
         init = dict(
             x=x,
+            cand=cand0,
             k=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             dist=jnp.asarray(jnp.inf, dtype),
@@ -313,7 +325,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             )
         )
         fric = capture_friction(x0, state.x_prev, kappa, cand0)
-        out = newton_solve(x0, x_tilde, kappa, fric)
+        out = newton_solve(x0, x_tilde, kappa, fric, cand0)
         x = out["x"]
         v = (x - state.x_prev) / dt
         v = jnp.where(dbc[:, None], 0.0, v)

@@ -158,6 +158,7 @@ class Simulation:
             nm_beta=cfg.nm_beta,
             nm_gamma=cfg.nm_gamma,
             damping_stiff=cfg.damping_stiff,
+            warm_start=cfg.warm_start,
         )
         if cfg.tuning:
             # tuning = [kappa, dHatEps, dHatTarget, dTolRel, fricDHat0,

@@ -68,6 +68,8 @@ class SimParams:
     kappa_min_mult: float = 1e11
     adaptive_kappa: bool = True
     fric_iter_amt: int = 1
+    warm_start: int = 0  # 0 = none, 1 = feasibility-filtered inertia
+                         # predictor (reference initX modes, :924-1233)
     max_newton: int = 10000
     pcg_tol: float = 1e-3
     pcg_maxiter: int = 1000
@@ -529,6 +531,14 @@ class IPCStepper:
 
         x_tilde = self.compute_x_tilde(state)
         x = state.x
+
+        if p.warm_start > 0:
+            dx0 = x_tilde - x
+            alpha = float(self._feasible_step_local(x, dx0))
+            if self.sc is not None:
+                cand_ws = self._candidates(x, disp=alpha * dx0)
+                alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx0, cand_ws)) * alpha)
+            x = x + alpha * dx0
 
         cand = self._candidates(x)
 

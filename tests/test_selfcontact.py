@@ -156,7 +156,7 @@ class TestScenes:
         st = IPCStepper(mesh, meta, SimParams(), halfspaces=[hs], self_contact=sc)
         state = st.initial_state()
         saw_contact = False
-        for i in range(35):
+        for i in range(24):
             state, stats = st.step(state)
             assert float(state.x[:, 1].min()) > 0.0
             hit, _ = st._has_intersection(state.x)
@@ -188,7 +188,7 @@ class TestScenes:
         sc = SelfContact(mesh, meta, friction=0.1)
         st = IPCStepper(mesh, meta, SimParams(), halfspaces=[], self_contact=sc)
         state = st.initial_state()
-        for i in range(30):
+        for i in range(20):
             state, stats = st.step(state)
             hit, _ = st._has_intersection(state.x)
             assert not bool(hit), f"intersection at step {i}"
