@@ -1,0 +1,79 @@
+"""Scalability sweep — the analog of the reference's
+input/paperExamples/21_scalability suite (mat 40^2..225^2, armadillo
+13K..219K tets): synthetic box-drop scenes swept over tet counts, reporting
+per-step wall time, Newton iterations, and contact-pair load on the current
+accelerator.
+
+    python benchmarks/scaling.py [--sizes 4,8,12,16] [--steps 10] [--f32]
+
+Writes a JSON-lines table to stdout (one record per size).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_size(n_cells, steps, dtype):
+    import jax
+
+    import __graft_entry__ as ge
+    from ipc_tpu.jit_step import make_jit_step
+
+    stepper = ge._build_scene(n_cells=n_cells, dtype=dtype)
+    n_tets = int(stepper.mesh.tets.shape[0])
+    n_verts = int(stepper.mesh.x_rest.shape[0])
+    step = make_jit_step(stepper, donate=False)
+    state = stepper.initial_state()
+
+    t0 = time.perf_counter()
+    state, stats = step(state)
+    jax.block_until_ready(state.x)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    iters = 0
+    for _ in range(steps):
+        state, stats = step(state)
+    jax.block_until_ready(state.x)
+    wall = time.perf_counter() - t0
+
+    assert np.isfinite(np.asarray(state.x)).all()
+    return dict(
+        n_cells=n_cells,
+        n_tets=n_tets,
+        n_verts=n_verts,
+        steps=steps,
+        sec_per_step=round(wall / steps, 4),
+        steps_per_sec=round(steps / wall, 4),
+        compile_sec=round(compile_s, 1),
+        newton_iters_last=int(stats.newton_iters),
+        pt_pairs=int(stats.pt_count),
+        ee_pairs=int(stats.ee_count),
+        platform=jax.default_backend(),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="4,8,12")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = np.float64 if args.f64 else np.float32
+    for s in [int(v) for v in args.sizes.split(",")]:
+        rec = run_size(s, args.steps, dtype)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

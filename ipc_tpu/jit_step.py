@@ -49,6 +49,7 @@ class JitStepStats:
     ee_count: Any
     last_alpha: Any
     energy: Any
+    pcg_iters_total: Any
 
 
 jax.tree_util.register_dataclass(
@@ -61,6 +62,7 @@ jax.tree_util.register_dataclass(
         "ee_count",
         "last_alpha",
         "energy",
+        "pcg_iters_total",
     ],
     meta_fields=[],
 )
@@ -181,7 +183,10 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             tol=p.pcg_tol,
             maxiter=p.pcg_maxiter,
         )
-        return dx, g
+        # GD fail-safe on PCG breakdown (see timestepper.search_dir)
+        bad = (~jnp.isfinite(dx).all()) | (~jnp.isfinite(rel)) | (rel > 1.0)
+        dx = jnp.where(bad, apply_block_precond(inv_diag, -g), dx)
+        return dx, g, iters
 
     def feasible_alpha_local(x, dx):
         """Inversion cubic + analytic half-space bound (no mesh CCD)."""
@@ -251,7 +256,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         def body(c):
             x = c["x"]
             cand = c["cand"]
-            dx, g = search_dir(x, x_tilde, kappa, cand, fric)
+            dx, g, pcg_iters = search_dir(x, x_tilde, kappa, cand, fric)
             dist = jnp.abs(dx).max()
             converged = (c["k"] > 0) & (dist < target_gres)
 
@@ -298,6 +303,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 energy=jnp.where(take, E_new, c["energy"]),
                 pt_count=jnp.maximum(c["pt_count"], cand.pt_count if cand is not None else 0),
                 ee_count=jnp.maximum(c["ee_count"], cand.ee_count if cand is not None else 0),
+                pcg_total=c["pcg_total"] + jnp.where(take, pcg_iters, 0),
             )
 
         init = dict(
@@ -310,6 +316,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             energy=jnp.asarray(0.0, dtype),
             pt_count=jnp.asarray(0, jnp.int32),
             ee_count=jnp.asarray(0, jnp.int32),
+            pcg_total=jnp.asarray(0, jnp.int32),
         )
         return jax.lax.while_loop(cond, body, init)
 
@@ -340,6 +347,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             ee_count=out["ee_count"],
             last_alpha=out["alpha"],
             energy=out["energy"],
+            pcg_iters_total=out["pcg_total"],
         )
         return new_state, stats
 

@@ -214,6 +214,20 @@ class Simulation:
 
         t0 = time.perf_counter()
         start = int(state.step)
+        try:
+            self._run_loop(state, start, total, step_fn, logger, out_dir, save_every, verbose)
+        except RuntimeError:
+            save_status(os.path.join(out_dir, "status_failed.npz"), self._last_state, -1)
+            raise
+        finally:
+            wall = time.perf_counter() - t0
+            logger.write_results_stats(wall)
+            logger.write_info()
+            logger.close()
+        return self._last_state
+
+    def _run_loop(self, state, start, total, step_fn, logger, out_dir, save_every, verbose):
+        self._last_state = state
         for k in range(start, total):
             with logger.timers.section("step"):
                 if step_fn is not None:
@@ -228,6 +242,7 @@ class Simulation:
                     stats = _S()
                 else:
                     state, stats = self.stepper.step(state, verbose=verbose)
+            self._last_state = state
             logger.log_step(k, stats)
             logger.log_system(self.mesh, self.meta, state, self.stepper.gravity, self.cfg.dt)
             if save_every and (k + 1) % save_every == 0:
@@ -237,11 +252,6 @@ class Simulation:
                         os.path.join(out_dir, f"surf{k + 1}.obj"),
                         np.asarray(state.x)[np.asarray(self.mesh.surf_verts)],
                     )
-        wall = time.perf_counter() - t0
-        logger.write_results_stats(wall)
-        logger.write_info()
-        logger.close()
-        return state
 
 
 def run_scene(config_path, out_dir=None, n_steps=None, dtype=np.float64, **kw):

@@ -309,6 +309,12 @@ class IPCStepper:
                 tol=p.pcg_tol,
                 maxiter=p.pcg_maxiter,
             )
+            # fail-safe: on PCG breakdown (NaN/no progress) fall back to the
+            # block-Jacobi-preconditioned gradient direction (the reference
+            # falls back to diag-preconditioned GD when CHOLMOD reports
+            # non-SPD, Optimizer.cpp:2330-2354)
+            bad = (~jnp.isfinite(dx).all()) | (~jnp.isfinite(rel)) | (rel > 1.0)
+            dx = jnp.where(bad, apply_block_precond(inv_diag, rhs), dx)
             return dx, g, iters, rel
 
         def feasible_step_local(x, dx):
@@ -593,6 +599,18 @@ class IPCStepper:
                 fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
 
         stats.kappa = kappa
+
+        # blow-up detectors (reference Optimizer.cpp:1385-1460): non-finite
+        # state or absurd displacement aborts with diagnostics instead of
+        # silently continuing
+        if not bool(jnp.isfinite(x).all()):
+            raise RuntimeError(f"state blow-up: non-finite positions at step {int(state.step)}")
+        max_disp = float(jnp.abs(x - state.x_prev).max())
+        if max_disp * max_disp > 100.0 * self.bbox_diag2:
+            raise RuntimeError(
+                f"state blow-up: displacement {max_disp:.3g} exceeds 10x scene "
+                f"diagonal at step {int(state.step)}"
+            )
 
         # integrator update (reference Optimizer::solve :570-596)
         if self.is_nm:

@@ -85,18 +85,28 @@ class RunLogger:
             self.coll_pairs_max = max(self.coll_pairs_max, max(stats.n_constraints))
             self.coll_pairs_sum += sum(stats.n_constraints)
 
-    def log_system(self, mesh, meta, state, gravity, dt):
+    def log_system(self, mesh, meta, state, gravity, dt, model="NH"):
         """Per-component energy / linear / angular momentum (sysE/M/L,
-        Optimizer.cpp:3745-3777): kinetic + gravitational potential."""
+        Optimizer.cpp:3745-3777): elastic + kinetic + gravitational."""
+        import jax.numpy as jnp
+
+        from ipc_tpu.energy.elasticity import elasticity_energy_per_elem
+
         x = np.asarray(state.x)
         v = np.asarray(state.v)
         m = np.asarray(mesh.mass)
         comp = np.asarray(mesh.vert_comp)
         g = np.asarray(gravity)
+        e_el = np.asarray(elasticity_energy_per_elem(jnp.asarray(state.x), mesh, model))
+        tet_comp = comp[np.asarray(mesh.tets)[:, 0]]
         for ci in range(comp.max() + 1):
             sel = comp == ci
             mc = m[sel][:, None]
-            E = 0.5 * float((mc * v[sel] ** 2).sum()) - float((m[sel] * (x[sel] @ g)).sum())
+            E = (
+                0.5 * float((mc * v[sel] ** 2).sum())
+                - float((m[sel] * (x[sel] @ g)).sum())
+                + float(e_el[tet_comp == ci].sum())
+            )
             M = (mc * v[sel]).sum(axis=0)
             L = (mc * np.cross(x[sel], v[sel])).sum(axis=0)
             self.sysE.write(f"{E:.10g} ")
