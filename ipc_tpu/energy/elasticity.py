@@ -159,9 +159,15 @@ MODELS = {
 # ---------------------------------------------------------------------------
 
 
-def _elem_svd(x4, rest_inv):
+def _elem_svd(x4, rest_inv, vol):
+    """Flip-SVD of the element deformation gradient. Zero-volume padding
+    elements (sharding pads, see parallel/sharding.py) get sigma = 1 so the
+    log terms of NH stay finite; their vol weight already zeroes every
+    contribution, but 0 * log(0) would otherwise produce NaN."""
     F = deformation_gradient(x4, rest_inv)
-    return svd3_jacobi(F)
+    U, s, V = svd3_jacobi(F)
+    s = jnp.where(vol > 0, s, 1.0)
+    return U, s, V
 
 
 def _spd3(A):
@@ -212,7 +218,7 @@ def _dPdF(U, s, V, mu, lam, model, project):
 
 
 def _elem_hess(x4, rest_inv, vol, mu, lam, model, project):
-    U, s, V = _elem_svd(x4, rest_inv)
+    U, s, V = _elem_svd(x4, rest_inv, vol)
     dPdF = _dPdF(U, s, V, mu, lam, model, project)
     W = elem_weights(rest_inv)
     T4 = dPdF.reshape(3, 3, 3, 3)  # [i, j, r, s] spatial x Fcol x spatial x Fcol
@@ -221,7 +227,7 @@ def _elem_hess(x4, rest_inv, vol, mu, lam, model, project):
 
 
 def _elem_grad(x4, rest_inv, vol, mu, lam, model):
-    U, s, V = _elem_svd(x4, rest_inv)
+    U, s, V = _elem_svd(x4, rest_inv, vol)
     dE = MODELS[model]["dE"](s, mu, lam)
     P = jnp.matmul(U * dE[None, :], V.T, precision=_HI)
     W = elem_weights(rest_inv)
@@ -229,7 +235,7 @@ def _elem_grad(x4, rest_inv, vol, mu, lam, model):
 
 
 def _elem_energy(x4, rest_inv, vol, mu, lam, model):
-    _, s, _ = _elem_svd(x4, rest_inv)
+    _, s, _ = _elem_svd(x4, rest_inv, vol)
     return vol * MODELS[model]["E"](s, mu, lam)
 
 
