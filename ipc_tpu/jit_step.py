@@ -286,10 +286,16 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 alpha_next = jnp.where(good, alpha, alpha * 0.5)
                 return alpha_next, j + 1, good
 
-            alpha, _, _ = jax.lax.while_loop(
+            alpha, _, accepted = jax.lax.while_loop(
                 ls_cond, ls_body, (alpha0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
             )
-            x_new = x + alpha * dx
+            # stall detection: an exhausted or vanishing line search means
+            # the iterate is at the dtype's energy noise floor (f32 runs hit
+            # this well above target_gres); stop instead of spinning to the
+            # iteration cap (the reference's tiny-step fail-safes play the
+            # same role, Optimizer.cpp:2067-2149)
+            stalled = (~accepted) | (alpha < 1e-6)
+            x_new = jnp.where(accepted, x + alpha * dx, x)
             E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric)
 
             take = ~converged
@@ -297,7 +303,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 x=jnp.where(take, x_new, x),
                 cand=cand_sweep,
                 k=c["k"] + jnp.where(take, 1, 0),
-                done=converged,
+                done=converged | stalled,
                 dist=dist,
                 alpha=jnp.where(take, alpha, c["alpha"]),
                 energy=jnp.where(take, E_new, c["energy"]),

@@ -62,7 +62,11 @@ class SimParams:
     model: str = "NH"
     dhat_rel: float = 1e-3  # dHat = dhat_rel^2 * bboxDiag2 (squared units)
     epsv_rel: float = 1e-3  # per second
-    rel_gl2_tol: float = 1e-8
+    # the reference's CODE fallback is 1e-8 (Optimizer.cpp:97) but every
+    # shipped scene sets `tol 1e-2` -> relGL2Tol = 1e-4 (README "Script
+    # Settings"); use the practical default — it is also what keeps f32
+    # above its convergence noise floor
+    rel_gl2_tol: float = 1e-4
     dtol_rel: float = 1e-9
     kappa: float = 0.0  # 0 -> suggest + adaptive
     kappa_min_mult: float = 1e11
@@ -657,10 +661,18 @@ class IPCStepper:
 
             # backtracking line search (Armijo c1=0, reference lineSearch)
             E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext, damp))
+            stalled = False
             while True:
                 x_new = x + alpha * dx
                 E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext, damp))
-                if E_new <= E0 or alpha < 1e-12:
+                if E_new <= E0:
+                    break
+                if alpha < 1e-12:
+                    # energy noise floor: no step can decrease E (reference's
+                    # tiny-step fail-safes, Optimizer.cpp:2067-2149)
+                    stalled = True
+                    x_new = x
+                    E_new = E0
                     break
                 alpha *= 0.5
             # intersection safeguard (reference lineSearch :2719-2735)
@@ -682,6 +694,9 @@ class IPCStepper:
             stats.alphas.append(alpha)
             stats.energies.append(E_new)
             stats.iters = k + 1
+
+            if stalled:
+                break
 
             if p.adaptive_kappa:
                 kappa, close_d2 = self._post_line_search(x, kappa, dHat, close_d2, cand_ls)
