@@ -11,9 +11,13 @@ Writes a JSON-lines table to stdout (one record per size).
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_size(n_cells, steps, dtype):

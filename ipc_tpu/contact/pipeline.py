@@ -64,11 +64,12 @@ class SelfContact:
     """Per-scene self-contact handler with capacity management."""
 
     # above this many primitives per side, the dense O(Na*Nb) overlap mask
-    # is replaced by the sort-based spatial hash (contact/spatial_hash.py)
-    DENSE_LIMIT = 4096
+    # is replaced by the sort-based spatial hash — measured on the v5e the
+    # grid already wins 2x at ~1.5K primitives
+    DENSE_LIMIT = 512
 
     def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None,
-                 vert_mu=None, broadphase=None, grid_K=32):
+                 vert_mu=None, broadphase=None, grid_K=48):
         self.mesh = mesh
         self.meta = meta
         self.friction = friction

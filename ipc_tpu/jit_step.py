@@ -80,6 +80,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     sc = stepper.sc
     dt = stepper.dt
     dtSq = stepper.dtSq
+    w_el = stepper.w_el  # h^2 (BE) or beta h^2 (Newmark)
+    is_nm = stepper.is_nm
     dHat = stepper.dHat
     gap = float(np.sqrt(dHat))
     target_gres = stepper.target_gres
@@ -93,7 +95,17 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     solve_fric = stepper._solve_fric
 
     def x_tilde_of(state):
-        xt = state.x_prev + dt * state.v + dtSq * gravity[None, :].astype(dtype)
+        g = gravity[None, :].astype(dtype)
+        if is_nm:
+            beta = p.nm_beta
+            xt = (
+                state.x_prev
+                + dt * state.v
+                + beta * dtSq * g
+                + (0.5 - beta) * dtSq * state.a
+            )
+        else:
+            xt = state.x_prev + dt * state.v + dtSq * g
         return jnp.where(dbc[:, None], state.x_prev, xt)
 
     def build_cand(x, disp):
@@ -101,8 +113,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             return None
         return sc.build_candidates(x, disp, gap)
 
-    def energy(x, x_tilde, kappa, cand, fric):
-        E = dtSq * EL.elasticity_energy(x, mesh, p.model)
+    def energy(x, x_tilde, kappa, cand, fric, damp):
+        E = w_el * EL.elasticity_energy(x, mesh, p.model)
         dxv = x - x_tilde
         E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dxv * dxv)
         x_sv = x[sv]
@@ -111,10 +123,15 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         if sc is not None:
             E = E + sc.energy(x, cand, kappa, dHat)
         E = E + stepper._friction_energy(x, fric)
+        if damp is not None:
+            dxd = jnp.where(dbc[:, None], 0.0, x - damp["x_ref"])
+            v4 = dxd[mesh.tets].reshape(-1, 12)
+            Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
+            E = E + 0.5 * jnp.sum(v4 * Av)
         return E
 
-    def gradient(x, x_tilde, kappa, cand, fric):
-        g = dtSq * EL.elasticity_gradient(x, mesh, p.model)
+    def gradient(x, x_tilde, kappa, cand, fric, damp):
+        g = w_el * EL.elasticity_gradient(x, mesh, p.model)
         g = g + mesh.mass[:, None] * (x - x_tilde)
         x_sv = x[sv]
         g_sv = jnp.zeros_like(x_sv)
@@ -124,11 +141,18 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         if sc is not None:
             g = g + sc.gradient(x, cand, kappa, dHat)
         g = g + stepper._friction_gradient(x, fric)
+        if damp is not None:
+            dxd = jnp.where(dbc[:, None], 0.0, x - damp["x_ref"])
+            v4 = dxd[mesh.tets].reshape(-1, 12)
+            Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
+            g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
         return jnp.where(dbc[:, None], 0.0, g)
 
-    def search_dir(x, x_tilde, kappa, cand, fric):
-        g = gradient(x, x_tilde, kappa, cand, fric)
-        Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
+    def search_dir(x, x_tilde, kappa, cand, fric, damp):
+        g = gradient(x, x_tilde, kappa, cand, fric, damp)
+        Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
+        if damp is not None:
+            Hel = Hel + damp["blocks"]
         x_sv = x[sv]
         Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
         for hs in stepper.halfspaces:
@@ -202,7 +226,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
 
     def init_kappa(x, x_tilde, cand):
         """Device initKappa: balance unit-kappa contact gradient."""
-        g_E = dtSq * EL.elasticity_gradient(x, mesh, p.model) + mesh.mass[:, None] * (
+        g_E = w_el * EL.elasticity_gradient(x, mesh, p.model) + mesh.mass[:, None] * (
             x - x_tilde
         )
         x_sv = x[sv]
@@ -241,7 +265,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             eps2=jnp.asarray(stepper.fric_dhat, dtype),
         )
 
-    def newton_solve(x, x_tilde, kappa, fric, cand0):
+    def newton_solve(x, x_tilde, kappa, fric, cand0, damp):
         """Newton loop with candidate carrying: the swept candidate set
         built in iteration k (gap sqrt(dHat), swept along the accepted
         step) provably covers every pair within sqrt(dHat) of iterate
@@ -256,7 +280,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         def body(c):
             x = c["x"]
             cand = c["cand"]
-            dx, g, pcg_iters = search_dir(x, x_tilde, kappa, cand, fric)
+            dx, g, pcg_iters = search_dir(x, x_tilde, kappa, cand, fric, damp)
             dist = jnp.abs(dx).max()
             converged = (c["k"] > 0) & (dist < target_gres)
 
@@ -270,7 +294,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 et_p, et_v, _ = sc.et_pairs(x, alpha0 * dx)
             else:
                 cand_sweep = cand
-            E0 = energy(x, x_tilde, kappa, cand_sweep, fric)
+            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp)
 
             def ls_cond(ls):
                 alpha, j, ok = ls
@@ -279,7 +303,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             def ls_body(ls):
                 alpha, j, ok = ls
                 x_try = x + alpha * dx
-                E_try = energy(x_try, x_tilde, kappa, cand_sweep, fric)
+                E_try = energy(x_try, x_tilde, kappa, cand_sweep, fric, damp)
                 good = E_try <= E0
                 if sc is not None:
                     good = good & (~sc.intersects_pairs(x_try, et_p, et_v))
@@ -296,7 +320,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # same role, Optimizer.cpp:2067-2149)
             stalled = (~accepted) | (alpha < 1e-6)
             x_new = jnp.where(accepted, x + alpha * dx, x)
-            E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric)
+            E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric, damp)
 
             take = ~converged
             return dict(
@@ -329,6 +353,17 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     def step(state: SimState):
         x_tilde = x_tilde_of(state)
         x0 = state.x
+        # warm start: feasibility-filtered inertia predictor (reference
+        # initX mode 1 family, Optimizer.cpp:924-1233) — saves roughly one
+        # Newton iteration per step in free flight and is CCD-safe
+        dx0 = x_tilde - x0
+        a0 = feasible_alpha_local(x0, dx0)
+        if sc is not None:
+            cand_ws = build_cand(x0, a0 * dx0)
+            a0 = a0 * sc.ccd_alpha(
+                x0, a0 * dx0, cand_ws, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
+            )
+        x0 = x0 + a0 * dx0
         cand0 = build_cand(x0, jnp.zeros_like(x0))
         kappa = (
             init_kappa(x0, x_tilde, cand0)
@@ -338,12 +373,25 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             )
         )
         fric = capture_friction(x0, state.x_prev, kappa, cand0)
-        out = newton_solve(x0, x_tilde, kappa, fric, cand0)
+        damp = None
+        if p.damping_stiff > 0.0:
+            blocks = (p.damping_stiff / dt) * EL.elasticity_hessian_blocks(
+                state.x_prev, mesh, p.model, True
+            )
+            damp = dict(blocks=blocks, x_ref=state.x_prev)
+        out = newton_solve(x0, x_tilde, kappa, fric, cand0, damp)
         x = out["x"]
-        v = (x - state.x_prev) / dt
-        v = jnp.where(dbc[:, None], 0.0, v)
+        if is_nm:
+            g = gravity[None, :].astype(dtype)
+            beta, gamma = p.nm_beta, p.nm_gamma
+            v = state.v + dt * (1.0 - gamma) * state.a
+            a = (x - x_tilde) / (dtSq * beta) + g
+            v = v + dt * gamma * a
+        else:
+            v = (x - state.x_prev) / dt
+            a = (v - state.v) / dt
         new_state = SimState(
-            x=x, x_prev=x, v=v, a=state.a, t=state.t + dt, step=state.step + 1
+            x=x, x_prev=x, v=v, a=a, t=state.t + dt, step=state.step + 1
         )
         stats = JitStepStats(
             newton_iters=out["k"],

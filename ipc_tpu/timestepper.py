@@ -75,7 +75,10 @@ class SimParams:
     warm_start: int = 0  # 0 = none, 1 = feasibility-filtered inertia
                          # predictor (reference initX modes, :924-1233)
     max_newton: int = 10000
-    pcg_tol: float = 1e-3
+    # inexact Newton: a loose relative linear-solve tolerance; the Armijo
+    # line search guarantees descent regardless (any PCG iterate of an SPD
+    # system applied to -g is a descent direction)
+    pcg_tol: float = 1e-2
     pcg_maxiter: int = 1000
     ccd_slackness_a: float = 0.9  # analytic CO step slack (solveSub_IP :1885)
     ccd_slackness_m: float = 0.8  # mesh CCD: keep 1-slackness of the gap
@@ -357,11 +360,32 @@ class IPCStepper:
 
         self._grad_no_contact = jax.jit(grad_no_contact)
         self._grad_contact_unit = jax.jit(grad_contact_unit)
+        if p.damping_stiff > 0.0:
+            self._damping_blocks = jax.jit(
+                lambda x: (p.damping_stiff / self.dt)
+                * EL.elasticity_hessian_blocks(x, mesh, model, True)
+            )
 
         if sc is not None:
             self._build_cand = jax.jit(
                 lambda x, disp, gap: sc.build_candidates(x, disp, gap)
             )
+
+            def cand_dists(x, cand):
+                from ipc_tpu.contact import selfcollision as SCmod
+                from ipc_tpu.ops import distance as Dmod
+
+                d_pt = jax.vmap(
+                    lambda x4: Dmod.stencil_dist2(*SCmod.pt_reduce(x4))
+                )(x[cand.pt_vids])
+                d_ee = jax.vmap(
+                    lambda x4: Dmod.stencil_dist2(*SCmod.ee_reduce(x4))
+                )(x[cand.ee_vids])
+                d_pt = jnp.where(cand.pt_valid, d_pt, jnp.inf)
+                d_ee = jnp.where(cand.ee_valid, d_ee, jnp.inf)
+                return d_pt, d_ee
+
+            self._cand_dists = jax.jit(cand_dists)
             self._ccd_alpha = jax.jit(
                 lambda x, dx, cand: sc.ccd_alpha(
                     x, dx, cand, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
@@ -575,10 +599,7 @@ class IPCStepper:
             # A = (dampingStiff / dt) * H_psi at the last committed state
             # (reference computeDampingMtr: coef = energyParams *
             # dampingStiff / dt, WITHOUT the dtSq of the Newton Hessian)
-            blocks = (self.p.damping_stiff / self.dt) * EL.elasticity_hessian_blocks(
-                state.x_prev, self.mesh, self.p.model, True
-            )
-            damp = dict(blocks=blocks, x_ref=state.x_prev)
+            damp = dict(blocks=self._damping_blocks(state.x_prev), x_ref=state.x_prev)
 
         # outer homotopy/friction loop (reference fullyImplicit_IP
         # :1613-1787): with the default config dHat == dHatTarget so the
@@ -719,26 +740,13 @@ class IPCStepper:
         return kappa, d2_now
 
     def _all_dist2(self, x, cand):
-        """Concatenated squared distances of all tracked constraints."""
+        """Concatenated squared distances of all tracked constraints
+        (jitted; this runs once per Newton iteration for adaptive kappa)."""
         parts = []
-        x_sv = np.asarray(x[self._sv])
+        x_sv = x[self._sv]
         for hs in self.halfspaces:
-            parts.append(np.asarray(hs.dist2(jnp.asarray(x_sv))))
+            parts.append(np.asarray(hs.dist2(x_sv)))
         if self.sc is not None and cand is not None:
-            from ipc_tpu.contact import selfcollision as SCmod
-            from ipc_tpu.ops import distance as Dmod
-
-            def d_pt(x4):
-                ct, xs = SCmod.pt_reduce(x4)
-                return Dmod.stencil_dist2(ct, xs)
-
-            def d_ee(x4):
-                ct, xs = SCmod.ee_reduce(x4)
-                return Dmod.stencil_dist2(ct, xs)
-
-            dpt = np.asarray(jax.vmap(d_pt)(x[cand.pt_vids]))
-            dee = np.asarray(jax.vmap(d_ee)(x[cand.ee_vids]))
-            dpt = np.where(np.asarray(cand.pt_valid), dpt, np.inf)
-            dee = np.where(np.asarray(cand.ee_valid), dee, np.inf)
-            parts.extend([dpt, dee])
+            dpt, dee = self._cand_dists(x, cand)
+            parts.extend([np.asarray(dpt), np.asarray(dee)])
         return np.concatenate(parts) if parts else np.zeros(0)
