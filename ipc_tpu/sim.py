@@ -76,6 +76,15 @@ def assemble(cfg: Config, dtype=np.float64):
     vert_comp = np.concatenate(vert_comp)
     surface_mask = np.concatenate(boundary_masks)
 
+    # `fall` scripts shift the whole scene up by half its bbox diagonal
+    # before anything else (reference AST_FALL, AnimScripter.cpp)
+    script_name = cfg.script
+    if script_name and script_name.lower() in ("fall", "fall_noshift"):
+        if script_name.lower() == "fall":
+            ext = V.max(axis=0) - V.min(axis=0)
+            V = V + np.array([0.0, 0.5 * float(np.linalg.norm(ext)), 0.0])
+        script_name = "null"
+
     # global rotateModel
     if cfg.rotate_model is not None:
         from ipc_tpu.scripting import _axis_angle
@@ -86,7 +95,7 @@ def assemble(cfg: Config, dtype=np.float64):
         V = (V - c) @ R.T + c
 
     script = build_script(
-        cfg.script,
+        script_name,
         V,
         surface_mask,
         comp_ranges,

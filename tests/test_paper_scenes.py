@@ -1,0 +1,51 @@
+"""Reference scene scripts run unmodified: tutorial + paper examples
+(the reference's example-suite-as-integration-tests pattern, SURVEY §4.5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/input"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference input suite not mounted"
+)
+
+
+def _run(scene, n_steps):
+    from ipc_tpu.config import load_config
+    from ipc_tpu.sim import Simulation
+
+    cfg = load_config(scene)
+    sim = Simulation(cfg)
+    state = sim.initial_state()
+    for _ in range(n_steps):
+        state, stats = sim.stepper.step(state)
+    return sim, state
+
+
+def test_2cubes_fall_tutorial():
+    sim, state = _run(f"{REF}/tutorialExamples/2cubesFall.txt", 6)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() > 0.0  # ground at y=0
+    # falling under gravity
+    assert x[:, 1].min() < 1.0
+
+
+def test_cube_stack_paper():
+    sim, state = _run(f"{REF}/paperExamples/10_cubeStack.txt", 5)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() > 0.5  # halfSpace at y=0.5
+    hit, _ = sim.stepper._has_intersection(state.x)
+    assert not bool(hit)
+
+
+def test_mat20_twist_scene():
+    sim, state = _run("scenes/matTwist20.txt", 4)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    # twisting: out-of-plane deflection grows
+    assert np.abs(x[:, 2]).max() > 0.03
