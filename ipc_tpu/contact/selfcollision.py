@@ -169,6 +169,23 @@ def barrier_gradient(x, pt_vids, pt_valid, ee_vids, ee_valid, ee_eps_x, kappa, d
     return out
 
 
+def unified_pair_energy(x4, eps_x, is_ee, dHat):
+    """Barrier energy of one stencil evaluated as BOTH a PT and an EE
+    candidate, selected by `is_ee` — used on compacted active subsets where
+    the pair type is data, not structure. Costs 2x per pair on a ~10x
+    smaller set (see active compaction in pipeline.hessian_blocks)."""
+    e_pt = pt_pair_energy(x4, dHat)
+    e_ee = ee_pair_energy(x4, eps_x, dHat)
+    return jnp.where(is_ee, e_ee, e_pt)
+
+
+def active_dist2(x, pt_vids, ee_vids):
+    """Squared reduced distances of all candidates ((Cpt,), (Cee,))."""
+    d_pt = jax.vmap(lambda x4: D.stencil_dist2(*pt_reduce(x4)))(x[pt_vids])
+    d_ee = jax.vmap(lambda x4: D.stencil_dist2(*ee_reduce(x4)))(x[ee_vids])
+    return d_pt, d_ee
+
+
 def _pair_hess(fn):
     def h(x4, *args):
         f = lambda xf: fn(xf.reshape(4, 3), *args)

@@ -47,6 +47,7 @@ class JitStepStats:
     dist_to_opt: Any
     pt_count: Any
     ee_count: Any
+    active_max: Any  # grow sc.cap_active past this before the next run
     last_alpha: Any
     energy: Any
     pcg_iters_total: Any
@@ -60,6 +61,7 @@ jax.tree_util.register_dataclass(
         "dist_to_opt",
         "pt_count",
         "ee_count",
+        "active_max",
         "last_alpha",
         "energy",
         "pcg_iters_total",
@@ -148,7 +150,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
         return jnp.where(dbc[:, None], 0.0, g)
 
-    def search_dir(x, x_tilde, kappa, cand, fric, damp):
+    def search_dir(x, x_tilde, kappa, cand, fric, damp, dx0=None):
         g = gradient(x, x_tilde, kappa, cand, fric, damp)
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
         if damp is not None:
@@ -159,9 +161,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
         fric_blocks = stepper._friction_hessians(x, fric)
         if sc is not None:
-            H_pt, H_ee = sc.hessian_blocks(x, cand, kappa, dHat, True)
+            vids_act, H_act, active_count = sc.hessian_blocks_active(
+                x, cand, kappa, dHat, True
+            )
         else:
-            H_pt = H_ee = None
+            vids_act = H_act = None
+            active_count = jnp.asarray(0, jnp.int32)
         tets = mesh.tets
 
         def scatter12(out, vids, H, v):
@@ -174,9 +179,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             out = mesh.mass[:, None] * v
             out = scatter12(out, tets, Hel, v)
             out = out.at[sv].add(jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI))
-            if H_pt is not None:
-                out = scatter12(out, cand.pt_vids, H_pt, v)
-                out = scatter12(out, cand.ee_vids, H_ee, v)
+            if H_act is not None:
+                out = scatter12(out, vids_act, H_act, v)
             for ids, Hf in fric_blocks:
                 out = scatter12(out, ids, Hf, v)
             out = jnp.where(dbc[:, None], 0.0, out)
@@ -191,9 +195,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
         diag = diag12(diag, tets, Hel)
         diag = diag.at[sv].add(Hsv)
-        if H_pt is not None:
-            diag = diag12(diag, cand.pt_vids, H_pt)
-            diag = diag12(diag, cand.ee_vids, H_ee)
+        if H_act is not None:
+            diag = diag12(diag, vids_act, H_act)
         for ids, Hf in fric_blocks:
             diag = diag12(diag, ids, Hf)
         eye = jnp.eye(3, dtype=x.dtype)[None]
@@ -204,13 +207,14 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             operator,
             -g,
             lambda r: apply_block_precond(inv_diag, r),
+            x0=dx0,
             tol=p.pcg_tol,
             maxiter=p.pcg_maxiter,
         )
         # GD fail-safe on PCG breakdown (see timestepper.search_dir)
         bad = (~jnp.isfinite(dx).all()) | (~jnp.isfinite(rel)) | (rel > 1.0)
         dx = jnp.where(bad, apply_block_precond(inv_diag, -g), dx)
-        return dx, g, iters
+        return dx, g, iters, active_count
 
     def feasible_alpha_local(x, dx):
         """Inversion cubic + analytic half-space bound (no mesh CCD)."""
@@ -280,7 +284,11 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         def body(c):
             x = c["x"]
             cand = c["cand"]
-            dx, g, pcg_iters = search_dir(x, x_tilde, kappa, cand, fric, damp)
+            # PCG warm start: successive Newton directions are highly
+            # correlated, so seed with the previous one
+            dx, g, pcg_iters, active_count = search_dir(
+                x, x_tilde, kappa, cand, fric, damp, c["dx"]
+            )
             dist = jnp.abs(dx).max()
             converged = (c["k"] > 0) & (dist < target_gres)
 
@@ -326,6 +334,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             return dict(
                 x=jnp.where(take, x_new, x),
                 cand=cand_sweep,
+                dx=dx,
                 k=c["k"] + jnp.where(take, 1, 0),
                 done=converged | stalled,
                 dist=dist,
@@ -333,12 +342,14 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 energy=jnp.where(take, E_new, c["energy"]),
                 pt_count=jnp.maximum(c["pt_count"], cand.pt_count if cand is not None else 0),
                 ee_count=jnp.maximum(c["ee_count"], cand.ee_count if cand is not None else 0),
+                active_max=jnp.maximum(c["active_max"], active_count),
                 pcg_total=c["pcg_total"] + jnp.where(take, pcg_iters, 0),
             )
 
         init = dict(
             x=x,
             cand=cand0,
+            dx=jnp.zeros_like(x),
             k=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             dist=jnp.asarray(jnp.inf, dtype),
@@ -346,6 +357,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             energy=jnp.asarray(0.0, dtype),
             pt_count=jnp.asarray(0, jnp.int32),
             ee_count=jnp.asarray(0, jnp.int32),
+            active_max=jnp.asarray(0, jnp.int32),
             pcg_total=jnp.asarray(0, jnp.int32),
         )
         return jax.lax.while_loop(cond, body, init)
@@ -399,6 +411,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             dist_to_opt=out["dist"],
             pt_count=out["pt_count"],
             ee_count=out["ee_count"],
+            active_max=out["active_max"],
             last_alpha=out["alpha"],
             energy=out["energy"],
             pcg_iters_total=out["pcg_total"],

@@ -263,9 +263,12 @@ class IPCStepper:
                 Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
             fric_blocks = self._friction_hessians(x, fric)  # list of (ids, H)
             if sc is not None and cand is not None:
-                H_pt, H_ee = sc.hessian_blocks(x, cand, kappa, dHat, True)
+                vids_act, H_act, active_count = sc.hessian_blocks_active(
+                    x, cand, kappa, dHat, True
+                )
             else:
-                H_pt = H_ee = None
+                vids_act = H_act = None
+                active_count = jnp.asarray(0, jnp.int32)
 
             dbc = mesh.dbc_mask
             tets = mesh.tets
@@ -282,9 +285,8 @@ class IPCStepper:
                 out = out.at[sv].add(
                     jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI)
                 )
-                if H_pt is not None:
-                    out = scatter12(out, cand.pt_vids, H_pt, v)
-                    out = scatter12(out, cand.ee_vids, H_ee, v)
+                if H_act is not None:
+                    out = scatter12(out, vids_act, H_act, v)
                 for ids, Hf in fric_blocks:
                     out = scatter12(out, ids, Hf, v)
                 out = jnp.where(dbc[:, None], 0.0, out)
@@ -299,9 +301,8 @@ class IPCStepper:
             diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
             diag = diag12(diag, tets, Hel)
             diag = diag.at[sv].add(Hsv)
-            if H_pt is not None:
-                diag = diag12(diag, cand.pt_vids, H_pt)
-                diag = diag12(diag, cand.ee_vids, H_ee)
+            if H_act is not None:
+                diag = diag12(diag, vids_act, H_act)
             for ids, Hf in fric_blocks:
                 diag = diag12(diag, ids, Hf)
             eye = jnp.eye(3, dtype=x.dtype)[None]
@@ -322,7 +323,7 @@ class IPCStepper:
             # non-SPD, Optimizer.cpp:2330-2354)
             bad = (~jnp.isfinite(dx).all()) | (~jnp.isfinite(rel)) | (rel > 1.0)
             dx = jnp.where(bad, apply_block_precond(inv_diag, rhs), dx)
-            return dx, g, iters, rel
+            return dx, g, iters, rel, active_count
 
         def feasible_step_local(x, dx):
             """Inversion cubic + half-space closed form (no mesh CCD)."""
@@ -660,7 +661,13 @@ class IPCStepper:
         close_d2 = None
         for k in range(p.max_newton):
             cand = self._candidates(x)
-            dx, g, pcg_iters, pcg_rel = self._search_dir(x, x_tilde, kappa, dHat, cand, fric, fext, damp)
+            while True:
+                dx, g, pcg_iters, pcg_rel, active_count = self._search_dir(
+                    x, x_tilde, kappa, dHat, cand, fric, fext, damp
+                )
+                if self.sc is None or not self.sc.ensure_active_cap(active_count):
+                    break
+                self._build_kernels()  # cap grew; re-trace
             dist_to_opt = float(jnp.abs(dx).max())
             stats.grad_inf.append(float(jnp.abs(g).max()))
             stats.pcg_iters.append(int(pcg_iters))

@@ -85,6 +85,32 @@ class TestBarrierOverCandidates:
         assert float(e_moll) > 0.0
 
 
+class TestActiveCompaction:
+    def test_active_subset_operator_exact(self):
+        """The compacted active-pair Hessian must act identically to the
+        full-candidate Hessian (inactive blocks are exactly zero)."""
+        mesh, meta = _two_cube_scene(gap=0.004)
+        sc = SelfContact(mesh, meta)
+        dHat = 1e-4
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(np.asarray(mesh.x_rest) + rng.uniform(-5e-4, 5e-4, (meta.n_verts, 3)))
+        cand = sc.build_candidates(x, jnp.zeros_like(x), np.sqrt(dHat) * 2)
+        H_pt, H_ee = sc.hessian_blocks(x, cand, 2.0, dHat, True)
+        vids_a, H_a, cnt = sc.hessian_blocks_active(x, cand, 2.0, dHat, True)
+        assert 0 < int(cnt) <= sc.cap_active
+        v = jnp.asarray(rng.normal(size=x.shape))
+
+        def apply(vids, H):
+            out = jnp.zeros_like(v)
+            v4 = v[vids].reshape(-1, 12)
+            hv = jnp.einsum("cij,cj->ci", H, v4)
+            return out.at[vids.reshape(-1)].add(hv.reshape(-1, 3))
+
+        full = apply(cand.pt_vids, H_pt) + apply(cand.ee_vids, H_ee)
+        act = apply(vids_a, H_a)
+        np.testing.assert_allclose(np.asarray(act), np.asarray(full), atol=1e-10)
+
+
 class TestACCD:
     def test_pt_head_on(self):
         x4 = jnp.asarray(
