@@ -20,7 +20,6 @@ dynamic lists.
 """
 
 from dataclasses import dataclass
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ All functions take a single stencil and are vmapped by callers.
 
 import jax.numpy as jnp
 
-from ipc_tpu.ops.distance import CTYPE_PP, CTYPE_PE, CTYPE_PT, CTYPE_EE
-
 __all__ = [
     "f0_sf",
     "f1_sf_over_x",

@@ -19,7 +19,12 @@ from ipc_tpu.contact.pipeline import SelfContact
 from ipc_tpu.mesh import append_kinematic_surface, build_mesh
 from ipc_tpu.scripting import build_script
 from ipc_tpu.timestepper import IPCStepper, SimParams
-from ipc_tpu.utils.observability import RunLogger, load_status, save_status
+from ipc_tpu.utils.observability import (
+    RunLogger,
+    load_status,
+    load_status_text,
+    save_status,
+)
 
 __all__ = ["Simulation", "assemble"]
 
@@ -202,7 +207,9 @@ class Simulation:
 
     def initial_state(self):
         if self.cfg.restart_path:
-            return load_status(self.cfg.restart_path, self.stepper)
+            if self.cfg.restart_path.endswith(".npz"):
+                return load_status(self.cfg.restart_path, self.stepper)
+            return load_status_text(self.cfg.restart_path, self.stepper)
         v0 = self.script.initial_velocity(np.asarray(self.mesh.x_rest))
         return self.stepper.initial_state(v0=v0)
 

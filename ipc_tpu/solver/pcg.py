@@ -13,8 +13,6 @@ The solve runs a fixed-shape `lax.while_loop` with a relative-residual
 tolerance and an iteration cap, so it jits once and stays on device.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

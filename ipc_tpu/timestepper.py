@@ -44,7 +44,6 @@ import jax
 import jax.numpy as jnp
 
 from ipc_tpu.energy import elasticity as EL
-from ipc_tpu.ops.barrier import barrier_hess
 from ipc_tpu.solver.pcg import apply_block_precond, block_jacobi_inverse, pcg
 
 _HI = jax.lax.Precision.HIGHEST

@@ -16,7 +16,15 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["Timers", "RunLogger", "save_status", "load_status", "peak_rss_mb"]
+__all__ = [
+    "Timers",
+    "RunLogger",
+    "save_status",
+    "load_status",
+    "save_status_text",
+    "load_status_text",
+    "peak_rss_mb",
+]
 
 
 class Timers:
@@ -157,6 +165,73 @@ def save_status(path, state, step_idx):
         x=np.asarray(state.x, dtype=np.float64),
         v=np.asarray(state.v, dtype=np.float64),
         a=np.asarray(state.a, dtype=np.float64),
+    )
+
+
+def save_status_text(path, state, step_idx):
+    """Reference-compatible text status file (same section layout as
+    Optimizer::saveStatus, Optimizer.cpp:2964-3014): `timestep`, `position`
+    (nV x 3), `velocity` (flat 3*nV), `acceleration` (nV x 3), `dx_Elastic`
+    (written as zeros; it is a warm-start cache the solver recomputes)."""
+    x = np.asarray(state.x, np.float64)
+    v = np.asarray(state.v, np.float64)
+    a = np.asarray(state.a, np.float64)
+    n = len(x)
+    with open(path, "w") as f:
+        f.write(f"timestep {step_idx}\n\n")
+        f.write(f"position {n} 3\n")
+        for r in x:
+            f.write(f"{r[0]:.19g} {r[1]:.19g} {r[2]:.19g}\n")
+        f.write("\n")
+        f.write(f"velocity {3 * n}\n")
+        for r in v:
+            f.write(f"{r[0]:.19g}\n{r[1]:.19g}\n{r[2]:.19g}\n")
+        f.write("\n")
+        f.write(f"acceleration {n} 3\n")
+        for r in a:
+            f.write(f"{r[0]:.19g} {r[1]:.19g} {r[2]:.19g}\n")
+        f.write("\n")
+        f.write(f"dx_Elastic {n} 3\n")
+        for _ in range(n):
+            f.write("0 0 0\n")
+
+
+def load_status_text(path, stepper):
+    """Read a reference-format status file (Optimizer ctor restart parse,
+    Optimizer.cpp:179-243) into a SimState."""
+    import jax.numpy as jnp
+
+    from ipc_tpu.timestepper import SimState
+
+    toks = open(path).read().split()
+    i = 0
+
+    def expect(word):
+        nonlocal i
+        while toks[i] != word:
+            i += 1
+        i += 1
+
+    expect("timestep")
+    step = int(toks[i]); i += 1
+    expect("position")
+    n, c = int(toks[i]), int(toks[i + 1]); i += 2
+    x = np.array(toks[i : i + n * c], np.float64).reshape(n, c); i += n * c
+    expect("velocity")
+    m = int(toks[i]); i += 1
+    v = np.array(toks[i : i + m], np.float64).reshape(-1, 3); i += m
+    a = np.zeros_like(x)
+    try:
+        expect("acceleration")
+        n2, c2 = int(toks[i]), int(toks[i + 1]); i += 2
+        a = np.array(toks[i : i + n2 * c2], np.float64).reshape(n2, c2)
+    except IndexError:
+        pass
+    dtype = stepper.dtype
+    xj = jnp.asarray(x, dtype)
+    return SimState(
+        x=xj, x_prev=xj, v=jnp.asarray(v, dtype), a=jnp.asarray(a, dtype),
+        t=step * stepper.dt, step=step,
     )
 
 
