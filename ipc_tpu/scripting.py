@@ -167,7 +167,7 @@ def _border_verts(V, ratio):
 
 def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.01,
                  shape_specs=None, dbc_time_range=(0.0, math.inf),
-                 nbc_time_range=(0.0, math.inf)):
+                 nbc_time_range=(0.0, math.inf), comp_codim=None):
     """Construct a Script for scene vertices V.
 
     shape_specs: parsed config.ShapeSpec list — their DBC/NBC/velocity
@@ -293,6 +293,46 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
                     lin_vel=lin,
                 )
             )
+    elif name_l == "dcofix":
+        # fix every codimensional component (reference AST_DCOFIX)
+        for ci, (s0, s1) in enumerate(comp_ranges):
+            if comp_codim is not None and comp_codim[ci] < 3:
+                sc.dbc_groups.append(DBCGroup(np.arange(s0, s1)))
+    elif name_l in ("dcorotcylinders", "dcoverschoorroller"):
+        # the first N scene components rotate rigidly about their own bbox
+        # centers at fixed rates (reference AST_DCOROTCYLINDERS /
+        # AST_DCOVERSCHOORROLLER, AnimScripter.cpp)
+        if name_l == "dcorotcylinders":
+            rates = [
+                (np.array([1.0, 0, 0]), math.pi / 2),
+                (np.array([1.0, 0, 0]), -math.pi / 2),
+                (np.array([0, 0, 1.0]), -math.pi / 2),
+                (np.array([0, 0, 1.0]), math.pi / 2),
+            ]
+        else:
+            rates = [
+                (np.array([0, 0, 1.0]), -4.0),
+                (np.array([0, 0, 1.0]), -2.0),
+                (np.array([0, 0, 1.0]), 2.0),
+                (np.array([0, 0, 1.0]), 4.0),
+                (np.array([1.0, 0, 0]), 2.0),
+                (np.array([1.0, 0, 0]), -2.0),
+            ]
+        for ci, (axis, w) in enumerate(rates):
+            if ci >= len(comp_ranges):
+                break
+            s0, s1 = comp_ranges[ci]
+            center = 0.5 * (V[s0:s1].min(axis=0) + V[s0:s1].max(axis=0))
+            sc.handles.append(
+                HandleMotion(
+                    verts=np.arange(s0, s1), ang_vel=w, axis=axis, center=center
+                )
+            )
+        # remaining codim components stay fixed
+        for ci in range(len(rates), len(comp_ranges)):
+            if comp_codim is not None and comp_codim[ci] < 3:
+                s0, s1 = comp_ranges[ci]
+                sc.dbc_groups.append(DBCGroup(np.arange(s0, s1)))
     elif name_l in ("stretch", "squash", "stretchnsquash"):
         left, right = _border_verts(V, handle_ratio)
         speed = 0.1 * rng[0]

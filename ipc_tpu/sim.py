@@ -30,13 +30,20 @@ __all__ = ["Simulation", "assemble"]
 
 
 def _load_shape(path):
+    """Load a shape in scene order. Returns (kind, V, prim) with kind
+    'vol' (tets), 'surf' (triangles) or 'seg' (edges) — codimensional
+    shapes are kinematic (reference main.cpp:948-1014 marks obj/seg/pt
+    shapes as collision objects with componentCoDim < 3)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".msh":
-        return io_mesh.read_msh(path)
-    if ext == ".ele" or ext == ".node":
-        return io_mesh.read_node_ele(os.path.splitext(path)[0])
-    raise ValueError(f"unsupported volumetric shape format: {path} "
-                     "(obj/seg/pt codimensional shapes are collision objects)")
+        return ("vol",) + io_mesh.read_msh(path)
+    if ext in (".ele", ".node"):
+        return ("vol",) + io_mesh.read_node_ele(os.path.splitext(path)[0])
+    if ext == ".obj":
+        return ("surf",) + io_mesh.read_obj(path)
+    if ext == ".seg":
+        return ("seg",) + io_mesh.read_seg(path)
+    raise ValueError(f"unsupported shape format: {path}")
 
 
 def assemble(cfg: Config, dtype=np.float64):
@@ -44,42 +51,50 @@ def assemble(cfg: Config, dtype=np.float64):
     assembly order: load shape, select BCs on the UNtransformed shape
     (main.cpp:1045-1070 before the transform at :1074), then transform
     rotate @ (scale * p) + translate and append."""
+    from ipc_tpu.mesh import _boundary_faces, append_kinematic_surface
+
+    # pass 1: load + transform every shape in SCENE order (DCO scripts index
+    # components by scene position, reference mesh.componentNodeRange)
+    entries = []
+    for spec in cfg.shapes:
+        kind, V0, prim = _load_shape(spec.path)
+        V = (spec.rotate @ (V0 * spec.scale[None, :]).T).T + spec.translate[None, :]
+        entries.append(dict(kind=kind, V=V, V0=V0, prim=np.asarray(prim), spec=spec))
+
+    # volumetric shapes merge into the deformable mesh (vertex-major first)
     Vs, Ts = [], []
-    comp_ranges = []
+    vol_ranges = []
     vert_comp = []
     tet_ym, tet_pr, tet_rho = [], [], []
-    off = 0
     boundary_masks = []
-    kept_specs = []
-    for spec in cfg.shapes:
-        V0, T0 = _load_shape(spec.path)
-        # rotate model (global) then per-shape transform
-        V = (spec.rotate @ (V0 * spec.scale[None, :]).T).T + spec.translate[None, :]
+    off = 0
+    for ei, e in enumerate(entries):
+        if e["kind"] != "vol":
+            continue
+        V0, T0, spec = e["V0"], e["prim"], e["spec"]
         nV, nT = len(V0), len(T0)
-        # boundary nodes (selection happens on the untransformed shape)
-        from ipc_tpu.mesh import _boundary_faces
-
         bmask = np.zeros(nV, dtype=bool)
-        bf = _boundary_faces(np.asarray(T0) if T0.ndim == 2 else T0)
+        bf = _boundary_faces(np.asarray(T0, np.int64))
         bmask[np.unique(bf.reshape(-1))] = True
         boundary_masks.append(bmask)
-        kept_specs.append(spec)
-
         rho, ym, pr = spec.material
         tet_rho.append(np.full(nT, cfg.rho if rho is None or not np.isfinite(rho or np.nan) else rho))
         tet_ym.append(np.full(nT, cfg.ym if ym is None or not np.isfinite(ym or np.nan) else ym))
         tet_pr.append(np.full(nT, cfg.pr if pr is None or not np.isfinite(pr or np.nan) else pr))
-
-        Vs.append(V)
+        Vs.append(e["V"])
         Ts.append(np.asarray(T0) + off)
-        comp_ranges.append((off, off + nV))
-        vert_comp.append(np.full(nV, len(Vs) - 1, dtype=np.int32))
+        e["range"] = (off, off + nV)
+        vol_ranges.append(e["range"])
+        vert_comp.append(np.full(nV, len(vol_ranges) - 1, dtype=np.int32))
         off += nV
 
+    if not Vs:
+        raise ValueError("scene has no volumetric shapes")
     V = np.concatenate(Vs, axis=0)
     T = np.concatenate(Ts, axis=0)
     vert_comp = np.concatenate(vert_comp)
     surface_mask = np.concatenate(boundary_masks)
+    comp_ranges = vol_ranges
 
     # `fall` scripts shift the whole scene up by half its bbox diagonal
     # before anything else (reference AST_FALL, AnimScripter.cpp)
@@ -87,7 +102,11 @@ def assemble(cfg: Config, dtype=np.float64):
     if script_name and script_name.lower() in ("fall", "fall_noshift"):
         if script_name.lower() == "fall":
             ext = V.max(axis=0) - V.min(axis=0)
-            V = V + np.array([0.0, 0.5 * float(np.linalg.norm(ext)), 0.0])
+            shift = np.array([0.0, 0.5 * float(np.linalg.norm(ext)), 0.0])
+            V = V + shift
+            for e in entries:
+                if e["kind"] != "vol":
+                    e["V"] = e["V"] + shift
         script_name = "null"
 
     # global rotateModel
@@ -99,30 +118,55 @@ def assemble(cfg: Config, dtype=np.float64):
         c = 0.5 * (V.min(axis=0) + V.max(axis=0))
         V = (V - c) @ R.T + c
 
-    script = build_script(
-        script_name,
-        V,
-        surface_mask,
-        comp_ranges,
-        params=cfg.script_params,
-        handle_ratio=cfg.handle_ratio,
-        shape_specs=kept_specs,
-        dbc_time_range=cfg.dbc_time_range,
-        nbc_time_range=cfg.nbc_time_range,
-    )
-    dbc_mask = script.dbc_mask()
-
+    # build the deformable mesh first so codimensional shapes can be
+    # appended as kinematic surface geometry; compute each codim shape's
+    # vertex range in SCENE component order for the scripts
     mesh, meta = build_mesh(
         V,
         T,
         density=np.concatenate(tet_rho),
         ym=np.concatenate(tet_ym),
         pr=np.concatenate(tet_pr),
-        dbc_mask=dbc_mask,
         vert_comp=vert_comp,
         comp_ranges=comp_ranges,
         dtype=dtype,
     )
+    for e in entries:
+        if e["kind"] == "vol":
+            continue
+        tris = e["prim"] if e["kind"] == "surf" else None
+        edges = e["prim"] if e["kind"] == "seg" else None
+        mesh, meta, rng = append_kinematic_surface(
+            mesh, meta, e["V"], tris=tris, edges=edges, dtype=dtype
+        )
+        e["range"] = rng
+
+    # scene-order component tables for the scripts
+    comp_ranges_scene = [e["range"] for e in entries]
+    comp_codim = [3 if e["kind"] == "vol" else (2 if e["kind"] == "surf" else 1)
+                  for e in entries]
+    V_all = np.asarray(mesh.x_rest, np.float64)
+    surface_mask_all = np.concatenate(
+        [surface_mask, np.ones(meta.n_verts - len(surface_mask), bool)]
+    )
+
+    script = build_script(
+        script_name,
+        V_all,
+        surface_mask_all,
+        comp_ranges_scene,
+        params=cfg.script_params,
+        handle_ratio=cfg.handle_ratio,
+        shape_specs=[e["spec"] for e in entries],
+        dbc_time_range=cfg.dbc_time_range,
+        nbc_time_range=cfg.nbc_time_range,
+        comp_codim=comp_codim,
+    )
+    # fold the script's DBC selection into the mesh (codim verts already DBC)
+    import jax.numpy as jnp
+
+    dbc = np.asarray(mesh.dbc_mask) | script.dbc_mask()
+    mesh = __import__("dataclasses").replace(mesh, dbc_mask=jnp.asarray(dbc))
     return mesh, meta, script
 
 
@@ -157,6 +201,7 @@ class Simulation:
             self.mesh, self.meta = mesh, meta
             # script arrays must cover the appended CO vertices
             script.n_verts = meta.n_verts
+            self.script = script
 
         sc = None
         if (cfg.self_collision or cfg.mesh_cos) and len(mesh.surf_tris) > 0:

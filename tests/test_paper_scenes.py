@@ -43,6 +43,19 @@ def test_cube_stack_paper():
     assert not bool(hit)
 
 
+def test_roller_scene_dco():
+    """Codimensional kinematic shapes + DCO script: rollers rotate, the
+    deformable sphere falls, nothing intersects."""
+    sim, state = _run("scenes/rollerTest.txt", 3)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    r0 = sim.script.handles[0].verts
+    x0 = np.asarray(sim.mesh.x_rest)
+    assert np.abs(x[r0] - x0[r0]).max() > 0.02  # rollers moved rigidly
+    hit, _ = sim.stepper._has_intersection(state.x)
+    assert not bool(hit)
+
+
 def test_mat20_twist_scene():
     sim, state = _run("scenes/matTwist20.txt", 4)
     x = np.asarray(state.x)
