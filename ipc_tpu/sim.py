@@ -269,6 +269,11 @@ class Simulation:
 
         step_fn = None
         if use_jit_step:
+            if self.script is not None and self.script.has_motion():
+                raise ValueError(
+                    "use_jit_step does not support scripted DBC motion yet; "
+                    "run the host path for scripted scenes"
+                )
             from ipc_tpu.jit_step import make_jit_step
 
             step_fn = make_jit_step(self.stepper, donate=False)
