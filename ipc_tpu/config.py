@@ -158,6 +158,12 @@ def _resolve(path, cfg_path):
     for c in cands:
         if os.path.exists(c):
             return c
+    # .seg shapes may exist only as the same-stem .obj (the reference's
+    # readSEG fallback); resolve against that stem too
+    if path.endswith(".seg"):
+        for c in cands:
+            if os.path.exists(os.path.splitext(c)[0] + ".obj"):
+                return c
     return path
 
 

@@ -58,6 +58,19 @@ class HandleMotion:
 
 
 @dataclass
+class MeshSeqMotion:
+    """A kinematic component following a mesh-file sequence
+    (reference AST_MESHSEQ_FROMFILE + per-shape meshSeq,
+    AnimScripter.cpp stepAnimScript mesh-sequence branch)."""
+
+    verts: np.ndarray  # component vertex ids
+    folder: str
+    transform: object  # V0 -> world positions (shape transform)
+    n_frames: int
+    ext: str
+
+
+@dataclass
 class Script:
     """Bound script: DBC/NBC groups + handle motions for one scene."""
 
@@ -65,6 +78,7 @@ class Script:
     dbc_groups: list = field(default_factory=list)
     nbc_groups: list = field(default_factory=list)
     handles: list = field(default_factory=list)
+    mesh_seqs: list = field(default_factory=list)
     init_velocity_fn: object = None  # (V,3) -> (V,3)
     dbc_time_range: tuple = (0.0, math.inf)
     nbc_time_range: tuple = (0.0, math.inf)
@@ -75,6 +89,8 @@ class Script:
             m[g.verts] = True
         for h in self.handles:
             m[h.verts] = True
+        for ms in self.mesh_seqs:
+            m[ms.verts] = True
         return m
 
     def initial_velocity(self, V):
@@ -84,7 +100,7 @@ class Script:
         return v
 
     def has_motion(self):
-        if self.handles:
+        if self.handles or self.mesh_seqs:
             return True
         return any(
             (g.linear_vel is not None and np.any(g.linear_vel != 0))
@@ -121,6 +137,10 @@ class Script:
             if h.lin_vel is not None:
                 d += h.lin_vel[None, :] * dt
             disp[h.verts] += d
+        for ms in self.mesh_seqs:
+            frame = min(int(round(t / dt)) + 1, ms.n_frames - 1)
+            target = ms.transform(_load_seq_frame(ms.folder, frame, ms.ext))
+            disp[ms.verts] += target - x[ms.verts]
         return disp
 
     def nbc_force(self, t, n_verts):
@@ -133,6 +153,19 @@ class Script:
             if g.time_range[0] <= t < g.time_range[1]:
                 f[g.verts] += g.force[None, :]
         return f
+
+
+def _load_seq_frame(folder, frame, ext):
+    import os
+
+    from ipc_tpu import io_mesh
+
+    path = os.path.join(folder, f"{frame}{ext}")
+    if ext == ".seg":
+        V, _ = io_mesh.read_seg(path)
+    else:
+        V, _ = io_mesh.read_obj(path)
+    return V
 
 
 def _euler_xyz(rad):
@@ -206,6 +239,32 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
                 )[0]
                 if len(sel):
                     sc.nbc_groups.append(NBCGroup(sel + s0, nb.force, nb.time_range))
+            # mesh-sequence-driven kinematic component
+            if sp.mesh_seq:
+                import glob as _glob
+                import os as _os
+
+                files = sorted(
+                    _glob.glob(_os.path.join(sp.mesh_seq, "*.seg"))
+                    + _glob.glob(_os.path.join(sp.mesh_seq, "*.obj"))
+                )
+                if files:
+                    ext = _os.path.splitext(files[0])[1]
+                    n_frames = len(files)
+                    rot, scale, trans = sp.rotate, sp.scale, sp.translate
+
+                    def xf(V0, rot=rot, scale=scale, trans=trans):
+                        return (rot @ (V0 * scale[None, :]).T).T + trans[None, :]
+
+                    sc.mesh_seqs.append(
+                        MeshSeqMotion(
+                            verts=np.arange(s0, s1),
+                            folder=sp.mesh_seq,
+                            transform=xf,
+                            n_frames=n_frames,
+                            ext=ext,
+                        )
+                    )
             # whole-component scripted velocity -> moving DBC of the component
             if sp.linear_vel is not None or sp.angular_vel is not None:
                 sc.dbc_groups.append(

@@ -42,7 +42,15 @@ def _load_shape(path):
     if ext == ".obj":
         return ("surf",) + io_mesh.read_obj(path)
     if ext == ".seg":
-        return ("seg",) + io_mesh.read_seg(path)
+        if os.path.exists(path):
+            return ("seg",) + io_mesh.read_seg(path)
+        # reference fallback: missing .seg -> same-stem .obj, edges derived
+        # (main.cpp:958-995)
+        obj = os.path.splitext(path)[0] + ".obj"
+        V, F = io_mesh.read_obj(obj)
+        e = np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]], axis=0)
+        e = np.unique(np.sort(e, axis=1), axis=0)
+        return ("seg", V, e)
     raise ValueError(f"unsupported shape format: {path}")
 
 
