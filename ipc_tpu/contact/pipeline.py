@@ -32,15 +32,22 @@ __all__ = ["Candidates", "SelfContact"]
 
 @dataclass(frozen=True)
 class Candidates:
-    """Fixed-shape candidate tensors for one Newton iteration (pytree)."""
+    """Fixed-shape candidate tensors for one Newton iteration (pytree).
+
+    Also carries the swept edge-triangle pairs for the line-search
+    intersection failsafe, so ONE fused broad phase per Newton iteration
+    serves the barrier, the CCD, and the intersection predicate."""
 
     pt_vids: Any  # (Cpt,4) int32 stencils (p,t0,t1,t2), pads -> 0
     pt_valid: Any  # (Cpt,) bool
     ee_vids: Any  # (Cee,4) int32 stencils (a0,a1,b0,b1)
     ee_valid: Any  # (Cee,) bool
     ee_eps_x: Any  # (Cee,) mollifier thresholds (rest-shape)
+    et_pairs: Any  # (Cet,2) int32 (surf edge idx, surf tri idx), pads -1
+    et_valid: Any  # (Cet,) bool
     pt_count: Any  # true counts (int32) for overflow detection
     ee_count: Any
+    et_count: Any
     bucket_overflow: Any  # max grid-bucket occupancy (grid broadphase only)
 
 
@@ -52,8 +59,11 @@ jax.tree_util.register_dataclass(
         "ee_vids",
         "ee_valid",
         "ee_eps_x",
+        "et_pairs",
+        "et_valid",
         "pt_count",
         "ee_count",
+        "et_count",
         "bucket_overflow",
     ],
     meta_fields=[],
@@ -69,7 +79,7 @@ class SelfContact:
     DENSE_LIMIT = 512
 
     def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None,
-                 vert_mu=None, broadphase=None, grid_K=48):
+                 vert_mu=None, broadphase=None, grid_K=16):
         self.mesh = mesh
         self.meta = meta
         self.friction = friction
@@ -89,26 +99,33 @@ class SelfContact:
         self.cap_et = int(cap_et or max(64, 8 * nE))
         # active (d < dHat) pairs are typically ~10-20% of candidates; the
         # Hessian (with its per-pair 12x12 eigendecomposition) is computed
-        # only on this compacted subset
-        self.cap_active = max(128, (self.cap_pt + self.cap_ee) // 4)
+        # only on this compacted subset, SPLIT BY TYPE so each pair runs its
+        # own (PT or EE) autodiff Hessian instead of both. Initial caps are
+        # tight (they grow on overflow) because the eigh cost scales with
+        # the CAP, not the count.
+        self.cap_act_pt = max(128, self.cap_pt // 8)
+        self.cap_act_ee = max(128, self.cap_ee // 8)
         self._eps_x_table = None  # filled lazily per ee candidate build
 
     # -- candidate construction -------------------------------------------
 
-    def build_candidates(self, x, disp=None, gap=None):
-        """Broad phase + stencil assembly. gap defaults to sqrt(dHat) set by
-        the caller; disp sweeps the AABBs for CCD-covering candidate sets."""
+    def build_candidates(self, x, disp=None, gap=None, with_et=True):
+        """ONE fused broad phase + stencil assembly: PT and EE barrier/CCD
+        candidates plus the swept edge-triangle pairs for the intersection
+        failsafe, sharing the AABB computation and the triangle grid.
+        gap defaults to sqrt(dHat) set by the caller; disp sweeps the AABBs
+        for CCD-covering candidate sets."""
         mesh = self.mesh
         if self.broadphase == "grid":
-            pt_pairs, pt_count, ov1 = SH.pt_candidates(
-                x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, self.cap_pt,
-                disp, gap, K=self.grid_K,
+            fused = SH.fused_candidates(
+                x, mesh.surf_verts, mesh.surf_edges, mesh.surf_tris,
+                mesh.dbc_mask, self.cap_pt, self.cap_ee, self.cap_et,
+                disp, gap, K=self.grid_K, with_et=with_et,
             )
-            ee_pairs, ee_count, ov2 = SH.ee_candidates(
-                x, mesh.surf_edges, mesh.dbc_mask, self.cap_ee, disp, gap,
-                K=self.grid_K,
-            )
-            bucket_overflow = jnp.maximum(ov1, ov2)
+            pt_pairs, pt_count = fused["pt"]
+            ee_pairs, ee_count = fused["ee"]
+            et_pairs, et_count = fused["et"]
+            bucket_overflow = fused["overflow"]
         else:
             pt_pairs, pt_count = BP.pt_candidates(
                 x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, self.cap_pt, disp, gap
@@ -116,6 +133,14 @@ class SelfContact:
             ee_pairs, ee_count = BP.ee_candidates(
                 x, mesh.surf_edges, mesh.dbc_mask, self.cap_ee, disp, gap
             )
+            if with_et:
+                et_pairs, et_count = BP.et_candidates(
+                    x, mesh.surf_edges, mesh.surf_tris, self.cap_et, disp, gap,
+                    mesh.dbc_mask,
+                )
+            else:
+                et_pairs = jnp.full((self.cap_et, 2), -1, jnp.int32)
+                et_count = jnp.asarray(0, jnp.int32)
             bucket_overflow = jnp.asarray(0, jnp.int32)
         pt_valid = pt_pairs[:, 0] >= 0
         ee_valid = ee_pairs[:, 0] >= 0
@@ -137,16 +162,23 @@ class SelfContact:
             ee_vids=ee_vids,
             ee_valid=ee_valid,
             ee_eps_x=ee_eps_x,
+            et_pairs=et_pairs,
+            et_valid=et_pairs[:, 0] >= 0,
             pt_count=pt_count,
             ee_count=ee_count,
+            et_count=et_count,
             bucket_overflow=bucket_overflow,
         )
 
-    def ensure_active_cap(self, active_count):
-        if int(active_count) > self.cap_active:
-            self.cap_active = int(int(active_count) * 1.5) + 64
-            return True
-        return False
+    def ensure_active_cap(self, active_pt, active_ee):
+        grew = False
+        if int(active_pt) > self.cap_act_pt:
+            self.cap_act_pt = int(int(active_pt) * 1.5) + 64
+            grew = True
+        if int(active_ee) > self.cap_act_ee:
+            self.cap_act_ee = int(int(active_ee) * 1.5) + 64
+            grew = True
+        return grew
 
     def ensure_caps(self, cand: Candidates):
         """Host-side overflow check; returns True if caps grew (re-trace)."""
@@ -158,6 +190,10 @@ class SelfContact:
             grew = True
         if ee_count > self.cap_ee:
             self.cap_ee = int(ee_count * 1.5) + 64
+            grew = True
+        et_count = int(cand.et_count)
+        if et_count > self.cap_et:
+            self.cap_et = int(et_count * 1.5) + 64
             grew = True
         if self.broadphase == "grid":
             ov = int(cand.bucket_overflow)
@@ -190,36 +226,41 @@ class SelfContact:
     def hessian_blocks_active(self, x, cand: Candidates, kappa, dHat, project=True):
         """SPD barrier Hessian blocks on the COMPACTED active subset.
 
-        Returns (vids (Ca,4), H (Ca,12,12), active_count). Inactive
-        candidates have exactly-zero blocks (the barrier vanishes at
-        d >= dHat), so compacting to d < dHat pairs before the per-pair
+        Returns (vids (Ca,4), H (Ca,12,12), (active_pt, active_ee) counts).
+        Inactive candidates have exactly-zero blocks (the barrier vanishes
+        at d >= dHat), so compacting to d < dHat pairs before the per-pair
         12x12 Hessian + eigendecomposition changes nothing and cuts the
-        dominant contact-assembly cost ~5-10x."""
+        dominant contact-assembly cost ~5-10x. PT and EE actives compact
+        into separate lists so each runs only its own autodiff Hessian."""
         d_pt, d_ee = SC.active_dist2(x, cand.pt_vids, cand.ee_vids)
-        act = jnp.concatenate(
-            [cand.pt_valid & (d_pt < dHat), cand.ee_valid & (d_ee < dHat)]
-        )
-        n_pt = cand.pt_vids.shape[0]
-        count = act.sum(dtype=jnp.int32)
-        (sel,) = jnp.nonzero(act, size=self.cap_active, fill_value=-1)
-        ok = sel >= 0
-        idx = jnp.maximum(sel, 0)
-        all_vids = jnp.concatenate([cand.pt_vids, cand.ee_vids])
-        all_eps = jnp.concatenate(
-            [jnp.ones((n_pt,), cand.ee_eps_x.dtype), cand.ee_eps_x]
-        )
-        vids = all_vids[idx]
-        eps_x = all_eps[idx]
-        is_ee = idx >= n_pt
+        act_pt = cand.pt_valid & (d_pt < dHat)
+        act_ee = cand.ee_valid & (d_ee < dHat)
+        cnt_pt = act_pt.sum(dtype=jnp.int32)
+        cnt_ee = act_ee.sum(dtype=jnp.int32)
 
-        H = jax.vmap(
-            SC._pair_hess(SC.unified_pair_energy), in_axes=(0, 0, 0, None)
-        )(x[vids], eps_x, is_ee, dHat)
+        (sp,) = jnp.nonzero(act_pt, size=self.cap_act_pt, fill_value=-1)
+        ok_p = sp >= 0
+        vids_p = cand.pt_vids[jnp.maximum(sp, 0)]
+        H_p = jax.vmap(SC._pair_hess(SC.pt_pair_energy), in_axes=(0, None))(
+            x[vids_p], dHat
+        )
+
+        (se,) = jnp.nonzero(act_ee, size=self.cap_act_ee, fill_value=-1)
+        ok_e = se >= 0
+        ie = jnp.maximum(se, 0)
+        vids_e = cand.ee_vids[ie]
+        H_e = jax.vmap(SC._pair_hess(SC.ee_pair_energy), in_axes=(0, 0, None))(
+            x[vids_e], cand.ee_eps_x[ie], dHat
+        )
+
+        H = jnp.concatenate([H_p, H_e])
         if project:
             H = jax.vmap(SC.make_psd)(H)
+        ok = jnp.concatenate([ok_p, ok_e])
+        vids = jnp.concatenate([vids_p, vids_e])
         H = jnp.where(ok[:, None, None], kappa * H, 0.0)
         vids = jnp.where(ok[:, None], vids, 0)
-        return vids, H, count
+        return vids, H, (cnt_pt, cnt_ee)
 
     def capture_friction(self, x, cand: Candidates, kappa, dHat):
         return SC.capture_friction(

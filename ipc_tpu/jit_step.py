@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ipc_tpu.energy import elasticity as EL
+from ipc_tpu.scripting import device_closures
+from ipc_tpu.solver.coarse import build_aggregates, make_coarse_assembler
 from ipc_tpu.solver.pcg import apply_block_precond, block_jacobi_inverse, pcg
 from ipc_tpu.timestepper import SimState
 
@@ -47,10 +49,13 @@ class JitStepStats:
     dist_to_opt: Any
     pt_count: Any
     ee_count: Any
-    active_max: Any  # grow sc.cap_active past this before the next run
+    et_count: Any
+    active_pt_max: Any  # grow sc.cap_act_pt/_ee past these before next run
+    active_ee_max: Any
     last_alpha: Any
     energy: Any
     pcg_iters_total: Any
+    script_scale: Any  # completed fraction of the scripted DBC motion
 
 
 jax.tree_util.register_dataclass(
@@ -61,10 +66,13 @@ jax.tree_util.register_dataclass(
         "dist_to_opt",
         "pt_count",
         "ee_count",
-        "active_max",
+        "et_count",
+        "active_pt_max",
+        "active_ee_max",
         "last_alpha",
         "energy",
         "pcg_iters_total",
+        "script_scale",
     ],
     meta_fields=[],
 )
@@ -95,6 +103,25 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     dbc_sv = stepper._dbc_sv
     dtype = stepper.dtype
     solve_fric = stepper._solve_fric
+    # two-level preconditioner setup (host-side, once per trace)
+    if p.coarse_precond:
+        agg, n_coarse = build_aggregates(np.asarray(mesh.x_rest))
+        coarse_assemble, coarse_term = make_coarse_assembler(
+            agg, n_coarse, dbc, dtype
+        )
+    else:
+        coarse_assemble = coarse_term = None
+    # scripted DBC motion + NBC forces on device (reference stepAnimScript,
+    # AnimScripter.cpp:1398-2276). Mesh-sequence scripts need per-frame file
+    # IO and must use the host path.
+    script = stepper.script
+    if script is not None and script.mesh_seqs:
+        raise ValueError(
+            "mesh-sequence scripted scenes need the host path (per-frame file IO)"
+        )
+    disp_fn, fext_fn = (
+        device_closures(script, dtype, dt) if script is not None else (None, None)
+    )
 
     def x_tilde_of(state):
         g = gravity[None, :].astype(dtype)
@@ -108,17 +135,23 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             )
         else:
             xt = state.x_prev + dt * state.v + dtSq * g
-        return jnp.where(dbc[:, None], state.x_prev, xt)
+        # DBC rows hold at the current (possibly scripted) position — the
+        # host path's compute_x_tilde does the same
+        return jnp.where(dbc[:, None], state.x, xt)
 
-    def build_cand(x, disp):
+    def build_cand(x, disp, with_et=True):
         if sc is None:
             return None
-        return sc.build_candidates(x, disp, gap)
+        return sc.build_candidates(x, disp, gap, with_et=with_et)
 
-    def energy(x, x_tilde, kappa, cand, fric, damp):
+    def energy(x, x_tilde, kappa, cand, fric, damp, fext=None):
         E = w_el * EL.elasticity_energy(x, mesh, p.model)
         dxv = x - x_tilde
         E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dxv * dxv)
+        if fext is not None:
+            E = E - w_el * jnp.sum(
+                jnp.where(dbc[:, None], 0.0, mesh.mass[:, None] * fext * x)
+            )
         x_sv = x[sv]
         for hs in stepper.halfspaces:
             E = E + hs.energy(x_sv, kappa, dHat)
@@ -132,9 +165,11 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             E = E + 0.5 * jnp.sum(v4 * Av)
         return E
 
-    def gradient(x, x_tilde, kappa, cand, fric, damp):
+    def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None):
         g = w_el * EL.elasticity_gradient(x, mesh, p.model)
         g = g + mesh.mass[:, None] * (x - x_tilde)
+        if fext is not None:
+            g = g - w_el * mesh.mass[:, None] * fext
         x_sv = x[sv]
         g_sv = jnp.zeros_like(x_sv)
         for hs in stepper.halfspaces:
@@ -150,8 +185,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
         return jnp.where(dbc[:, None], 0.0, g)
 
-    def search_dir(x, x_tilde, kappa, cand, fric, damp, dx0=None):
-        g = gradient(x, x_tilde, kappa, cand, fric, damp)
+    def search_dir(x, x_tilde, kappa, cand, fric, damp, fext=None, dx0=None):
+        g = gradient(x, x_tilde, kappa, cand, fric, damp, fext)
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
         if damp is not None:
             Hel = Hel + damp["blocks"]
@@ -166,7 +201,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             )
         else:
             vids_act = H_act = None
-            active_count = jnp.asarray(0, jnp.int32)
+            active_count = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         tets = mesh.tets
 
         def scatter12(out, vids, H, v):
@@ -203,10 +238,24 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         diag = jnp.where(dbc[:, None, None], eye, diag)
         inv_diag = block_jacobi_inverse(diag)
 
+        if coarse_assemble is not None:
+            contribs = [(tets, Hel), (sv[:, None], Hsv)]
+            if H_act is not None:
+                contribs.append((vids_act, H_act))
+            for ids, Hf in fric_blocks:
+                contribs.append((ids, Hf))
+            Ainv_c = coarse_assemble(mesh.mass, contribs)
+
+            def precond(r):
+                return apply_block_precond(inv_diag, r) + coarse_term(Ainv_c, r)
+        else:
+            def precond(r):
+                return apply_block_precond(inv_diag, r)
+
         dx, iters, rel = pcg(
             operator,
             -g,
-            lambda r: apply_block_precond(inv_diag, r),
+            precond,
             x0=dx0,
             tol=p.pcg_tol,
             maxiter=p.pcg_maxiter,
@@ -269,7 +318,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             eps2=jnp.asarray(stepper.fric_dhat, dtype),
         )
 
-    def newton_solve(x, x_tilde, kappa, fric, cand0, damp):
+    def newton_solve(x, x_tilde, kappa, fric, cand0, damp, fext=None):
         """Newton loop with candidate carrying: the swept candidate set
         built in iteration k (gap sqrt(dHat), swept along the accepted
         step) provably covers every pair within sqrt(dHat) of iterate
@@ -287,22 +336,26 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # PCG warm start: successive Newton directions are highly
             # correlated, so seed with the previous one
             dx, g, pcg_iters, active_count = search_dir(
-                x, x_tilde, kappa, cand, fric, damp, c["dx"]
+                x, x_tilde, kappa, cand, fric, damp, fext, c["dx"]
             )
             dist = jnp.abs(dx).max()
             converged = (c["k"] > 0) & (dist < target_gres)
 
             alpha0 = feasible_alpha_local(x, dx)
             if sc is not None:
+                # ONE fused broad phase per iteration: the swept candidates
+                # carry the PT/EE barrier+CCD stencils AND the edge-triangle
+                # pairs for the line-search intersection predicate (swept by
+                # the pre-CCD alpha0*dx, a superset of any accepted step)
                 cand_sweep = build_cand(x, alpha0 * dx)
                 t = sc.ccd_alpha(
                     x, alpha0 * dx, cand_sweep, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
                 )
                 alpha0 = alpha0 * t
-                et_p, et_v, _ = sc.et_pairs(x, alpha0 * dx)
+                et_p, et_v = cand_sweep.et_pairs, cand_sweep.et_valid
             else:
                 cand_sweep = cand
-            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp)
+            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp, fext)
 
             def ls_cond(ls):
                 alpha, j, ok = ls
@@ -311,7 +364,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             def ls_body(ls):
                 alpha, j, ok = ls
                 x_try = x + alpha * dx
-                E_try = energy(x_try, x_tilde, kappa, cand_sweep, fric, damp)
+                E_try = energy(x_try, x_tilde, kappa, cand_sweep, fric, damp, fext)
                 good = E_try <= E0
                 if sc is not None:
                     good = good & (~sc.intersects_pairs(x_try, et_p, et_v))
@@ -328,7 +381,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # same role, Optimizer.cpp:2067-2149)
             stalled = (~accepted) | (alpha < 1e-6)
             x_new = jnp.where(accepted, x + alpha * dx, x)
-            E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric, damp)
+            E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric, damp, fext)
 
             take = ~converged
             return dict(
@@ -342,7 +395,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 energy=jnp.where(take, E_new, c["energy"]),
                 pt_count=jnp.maximum(c["pt_count"], cand.pt_count if cand is not None else 0),
                 ee_count=jnp.maximum(c["ee_count"], cand.ee_count if cand is not None else 0),
-                active_max=jnp.maximum(c["active_max"], active_count),
+                et_count=jnp.maximum(c["et_count"], cand_sweep.et_count if cand_sweep is not None else 0),
+                active_pt_max=jnp.maximum(c["active_pt_max"], active_count[0]),
+                active_ee_max=jnp.maximum(c["active_ee_max"], active_count[1]),
                 pcg_total=c["pcg_total"] + jnp.where(take, pcg_iters, 0),
             )
 
@@ -357,12 +412,44 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             energy=jnp.asarray(0.0, dtype),
             pt_count=jnp.asarray(0, jnp.int32),
             ee_count=jnp.asarray(0, jnp.int32),
-            active_max=jnp.asarray(0, jnp.int32),
+            et_count=jnp.asarray(0, jnp.int32),
+            active_pt_max=jnp.asarray(0, jnp.int32),
+            active_ee_max=jnp.asarray(0, jnp.int32),
             pcg_total=jnp.asarray(0, jnp.int32),
         )
         return jax.lax.while_loop(cond, body, init)
 
     def step(state: SimState):
+        script_scale = jnp.asarray(1.0, dtype)
+        if disp_fn is not None:
+            # scripted DBC motion with intersection backtracking (reference
+            # stepAnimScript's halving loop; the ET pairs are built swept by
+            # the FULL displacement so one broad phase covers every trial)
+            x_s = state.x
+            disp = disp_fn(x_s, state.t)
+            if sc is not None:
+                cand_s = build_cand(x_s, disp)
+
+                def sb_cond(c):
+                    s, done = c
+                    return (~done) & (s > 1e-6)
+
+                def sb_body(c):
+                    s, _ = c
+                    hit = sc.intersects_pairs(
+                        x_s + s * disp, cand_s.et_pairs, cand_s.et_valid
+                    )
+                    return jnp.where(hit, s * 0.5, s), ~hit
+
+                script_scale, ok = jax.lax.while_loop(
+                    sb_cond, sb_body, (script_scale, jnp.asarray(False))
+                )
+                script_scale = jnp.where(ok, script_scale, 0.0)
+            state = SimState(
+                x=x_s + script_scale * disp, x_prev=state.x_prev, v=state.v,
+                a=state.a, t=state.t, step=state.step,
+            )
+        fext = fext_fn(state.t) if fext_fn is not None else None
         x_tilde = x_tilde_of(state)
         x0 = state.x
         # warm start: feasibility-filtered inertia predictor (reference
@@ -371,12 +458,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         dx0 = x_tilde - x0
         a0 = feasible_alpha_local(x0, dx0)
         if sc is not None:
-            cand_ws = build_cand(x0, a0 * dx0)
+            cand_ws = build_cand(x0, a0 * dx0, with_et=False)
             a0 = a0 * sc.ccd_alpha(
                 x0, a0 * dx0, cand_ws, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
             )
         x0 = x0 + a0 * dx0
-        cand0 = build_cand(x0, jnp.zeros_like(x0))
+        cand0 = build_cand(x0, jnp.zeros_like(x0), with_et=False)
         kappa = (
             init_kappa(x0, x_tilde, cand0)
             if p.adaptive_kappa
@@ -391,7 +478,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 state.x_prev, mesh, p.model, True
             )
             damp = dict(blocks=blocks, x_ref=state.x_prev)
-        out = newton_solve(x0, x_tilde, kappa, fric, cand0, damp)
+        out = newton_solve(x0, x_tilde, kappa, fric, cand0, damp, fext)
         x = out["x"]
         if is_nm:
             g = gravity[None, :].astype(dtype)
@@ -411,10 +498,13 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             dist_to_opt=out["dist"],
             pt_count=out["pt_count"],
             ee_count=out["ee_count"],
-            active_max=out["active_max"],
+            et_count=out["et_count"],
+            active_pt_max=out["active_pt_max"],
+            active_ee_max=out["active_ee_max"],
             last_alpha=out["alpha"],
             energy=out["energy"],
             pcg_iters_total=out["pcg_total"],
+            script_scale=script_scale,
         )
         return new_state, stats
 

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["DBCGroup", "NBCGroup", "Script", "build_script"]
+__all__ = ["DBCGroup", "NBCGroup", "Script", "build_script", "device_closures"]
 
 
 @dataclass
@@ -153,6 +153,95 @@ class Script:
             if g.time_range[0] <= t < g.time_range[1]:
                 f[g.verts] += g.force[None, :]
         return f
+
+
+def device_closures(script: "Script", dtype, dt):
+    """(disp_fn, fext_fn) jnp closures for the fully-jitted step.
+
+    disp_fn(x, t) -> (V,3) scripted displacement over [t, t+dt]; fext_fn(t)
+    -> (V,3) per-mass NBC force field — the on-device mirrors of
+    step_displacement / nbc_force (reference stepAnimScript,
+    AnimScripter.cpp:1398-2276). Rotation matrices are static (dt is a
+    trace-time constant); time gates are traced comparisons so one compiled
+    step serves the whole simulation. Mesh-sequence motions need per-frame
+    file IO and stay host-side — callers must route those scenes through
+    the host path. Returns (None, None) components when absent.
+    """
+    import jax.numpy as jnp
+
+    disp_fn = None
+    if script is not None and script.has_motion() and not script.mesh_seqs:
+        dbc_specs = []
+        glo, ghi = script.dbc_time_range
+        for g in script.dbc_groups:
+            lin = g.linear_vel if g.linear_vel is not None else np.zeros(3)
+            has_ang = g.angular_vel is not None and np.any(g.angular_vel != 0)
+            if not has_ang and not np.any(lin):
+                continue
+            R = _euler_xyz(np.asarray(g.angular_vel) * dt) if has_ang else None
+            dbc_specs.append(
+                (
+                    np.asarray(g.verts, np.int32),
+                    np.asarray(lin, np.float64) * dt,
+                    R,
+                    max(glo, g.time_range[0]),
+                    min(ghi, g.time_range[1]),
+                )
+            )
+        handle_specs = []
+        for h in script.handles:
+            R = _axis_angle(h.axis, h.ang_vel * dt)
+            lin = (h.lin_vel * dt) if h.lin_vel is not None else None
+            handle_specs.append(
+                (np.asarray(h.verts, np.int32), R, np.asarray(h.center), lin)
+            )
+
+        if dbc_specs or handle_specs:
+
+            def disp_fn(x, t):
+                out = jnp.zeros_like(x)
+                for idx, lin_dt, R, lo, hi in dbc_specs:
+                    xg = x[idx]
+                    d = jnp.zeros_like(xg)
+                    if R is not None:
+                        c = 0.5 * (xg.min(axis=0) + xg.max(axis=0))
+                        d = d + (xg - c) @ jnp.asarray(R.T, x.dtype) + c - xg
+                    d = d + jnp.asarray(lin_dt, x.dtype)[None, :]
+                    active = (t >= lo) & (t < hi)
+                    out = out.at[idx].add(jnp.where(active, 1.0, 0.0) * d)
+                for idx, R, c, lin_dt in handle_specs:
+                    xg = x[idx]
+                    c = jnp.asarray(c, x.dtype)
+                    d = (xg - c) @ jnp.asarray(R.T, x.dtype) + c - xg
+                    if lin_dt is not None:
+                        d = d + jnp.asarray(lin_dt, x.dtype)[None, :]
+                    out = out.at[idx].add(d)
+                return out
+
+    fext_fn = None
+    if script is not None and script.nbc_groups:
+        nlo, nhi = script.nbc_time_range
+        nbc_specs = [
+            (
+                np.asarray(g.verts, np.int32),
+                np.asarray(g.force, np.float64),
+                max(nlo, g.time_range[0]),
+                min(nhi, g.time_range[1]),
+            )
+            for g in script.nbc_groups
+        ]
+        n_verts = script.n_verts
+
+        def fext_fn(t):
+            f = jnp.zeros((n_verts, 3), dtype)
+            for idx, force, lo, hi in nbc_specs:
+                active = (t >= lo) & (t < hi)
+                f = f.at[idx].add(
+                    jnp.where(active, 1.0, 0.0) * jnp.asarray(force, dtype)[None, :]
+                )
+            return f
+
+    return disp_fn, fext_fn
 
 
 def _load_seq_frame(folder, frame, ext):

@@ -277,10 +277,10 @@ class Simulation:
 
         step_fn = None
         if use_jit_step:
-            if self.script is not None and self.script.has_motion():
+            if self.script is not None and self.script.mesh_seqs:
                 raise ValueError(
-                    "use_jit_step does not support scripted DBC motion yet; "
-                    "run the host path for scripted scenes"
+                    "use_jit_step does not support mesh-sequence scripts "
+                    "(per-frame file IO); run the host path for those scenes"
                 )
             from ipc_tpu.jit_step import make_jit_step
 

@@ -1,0 +1,102 @@
+"""Two-level aggregation preconditioner for the matrix-free Newton solve.
+
+TPU-native analog of the reference's AMG option (reference:
+src/LinSysSolver/AMGCLSolver.cpp:24-47 — smoothed-aggregation AMG +
+Chebyshev relaxation inside CG). Block-Jacobi alone leaves the low-frequency
+elastic modes to CG, which costs O(100) iterations per Newton solve on stiff
+meshes; one piecewise-constant coarse space removes exactly those modes:
+
+  M^-1 = J^-1 + P A_c^-1 P^T            (additive two-level Schwarz)
+
+* P is the piecewise-constant prolongator over vertex AGGREGATES built once
+  per scene on the host: vertices are sorted along a Morton (z-order) curve
+  of their rest positions and chunked into spatially-compact groups, so
+  restriction/prolongation are a segment-sum / gather — no sparse matrices.
+* A_c = P^T A P (exact Galerkin product of the same SPD per-element /
+  per-pair blocks the operator multiplies with, with DBC rows masked out)
+  is a small dense (3C,3C) SPD matrix, assembled by scatter-add and
+  explicitly inverted ONCE per Newton iteration; each PCG application is
+  then one segment-sum, one dense matvec, one gather.
+
+Both terms are SPD, so CG theory applies unchanged.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["build_aggregates", "make_coarse_assembler"]
+
+
+def _morton3(q):
+    """Interleave 10 bits per axis -> 30-bit z-order code. q: (V,3) uint32."""
+    def spread(x):
+        x = x.astype(np.uint64) & 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def build_aggregates(x_rest, size=32, max_coarse=1024):
+    """(V,) int32 aggregate ids + aggregate count C.
+
+    Morton-sort rest positions, chunk `size` consecutive vertices per
+    aggregate (spatially compact, always balanced). C is capped so the
+    dense coarse factorization stays negligible at any mesh scale."""
+    X = np.asarray(x_rest, np.float64)
+    V = X.shape[0]
+    size = max(size, int(np.ceil(V / max_coarse)))
+    ext = np.maximum(X.max(axis=0) - X.min(axis=0), 1e-30).max()
+    q = np.floor((X - X.min(axis=0)) / ext * 1023.0).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable")
+    agg = np.empty(V, np.int32)
+    agg[order] = (np.arange(V) // size).astype(np.int32)
+    C = int(agg.max()) + 1
+    return agg, C
+
+
+def make_coarse_assembler(agg, C, dbc_mask, dtype):
+    """Returns (assemble, precond_term).
+
+    assemble(mass, contributions) -> (3C,3C) inverse of the Galerkin coarse
+    matrix; `contributions` is a list of (vids (N,k), H (N,3k,3k)) block
+    families (tets k=4, contact pairs k=4, surface-vertex blocks k=1).
+    precond_term(Ainv, r) -> P A_c^-1 P^T r  (the coarse correction).
+    """
+    agg = jnp.asarray(agg, jnp.int32)
+    free = (~dbc_mask).astype(dtype)
+
+    def assemble(mass, contributions):
+        A = jnp.zeros((C, C, 3, 3), dtype)
+        # lumped mass on the diagonal (free vertices only)
+        m_c = jnp.zeros((C,), dtype).at[agg].add(mass * free)
+        A = A.at[jnp.arange(C), jnp.arange(C)].add(
+            m_c[:, None, None] * jnp.eye(3, dtype=dtype)[None]
+        )
+        for vids, H in contributions:
+            k = vids.shape[1]
+            Hk = H.reshape(-1, k, 3, k, 3)
+            f = free[vids]  # (N,k) — DBC rows/cols are identity in the
+            # fine operator and excluded from the coarse space
+            Hk = Hk * f[:, :, None, None, None] * f[:, None, None, :, None]
+            ca = agg[vids]  # (N,k)
+            for a in range(k):
+                for b in range(k):
+                    A = A.at[ca[:, a], ca[:, b]].add(Hk[:, a, :, b, :])
+        Ad = A.transpose(0, 2, 1, 3).reshape(3 * C, 3 * C)
+        # tiny trace-scaled regularization: keeps empty/all-DBC aggregates
+        # invertible without perturbing the correction meaningfully
+        tr = jnp.trace(Ad) / (3 * C)
+        Ad = Ad + (1e-8 * tr + 1e-30) * jnp.eye(3 * C, dtype=dtype)
+        return jnp.linalg.inv(Ad)
+
+    def precond_term(Ainv, r):
+        rc = jnp.zeros((C, 3), dtype).at[agg].add(r * free[:, None])
+        zc = jnp.matmul(Ainv, rc.reshape(-1)).reshape(C, 3)
+        return zc[agg] * free[:, None]
+
+    return assemble, precond_term

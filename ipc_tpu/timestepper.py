@@ -79,6 +79,9 @@ class SimParams:
     # system applied to -g is a descent direction)
     pcg_tol: float = 1e-2
     pcg_maxiter: int = 1000
+    # two-level aggregation preconditioner (solver/coarse.py) — the analog
+    # of the reference's AMGCL smoothed-aggregation option
+    coarse_precond: bool = True
     ccd_slackness_a: float = 0.9  # analytic CO step slack (solveSub_IP :1885)
     ccd_slackness_m: float = 0.8  # mesh CCD: keep 1-slackness of the gap
     ccd_max_iter: int = 64
@@ -200,12 +203,21 @@ class IPCStepper:
     # ------------------------------------------------------------------
 
     def _build_kernels(self):
+        from ipc_tpu.solver.coarse import build_aggregates, make_coarse_assembler
+
         mesh = self.mesh
         p = self.p
         dtSq = self.w_el
         model = p.model
         sv = self._sv
         sc = self.sc
+        if p.coarse_precond:
+            agg, n_coarse = build_aggregates(np.asarray(mesh.x_rest))
+            coarse_assemble, coarse_term = make_coarse_assembler(
+                agg, n_coarse, mesh.dbc_mask, self.dtype
+            )
+        else:
+            coarse_assemble = coarse_term = None
 
         def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
             E = dtSq * EL.elasticity_energy(x, mesh, model)
@@ -267,7 +279,7 @@ class IPCStepper:
                 )
             else:
                 vids_act = H_act = None
-                active_count = jnp.asarray(0, jnp.int32)
+                active_count = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
             dbc = mesh.dbc_mask
             tets = mesh.tets
@@ -308,11 +320,25 @@ class IPCStepper:
             diag = jnp.where(dbc[:, None, None], eye, diag)
             inv_diag = block_jacobi_inverse(diag)
 
+            if coarse_assemble is not None:
+                contribs = [(tets, Hel), (sv[:, None], Hsv)]
+                if H_act is not None:
+                    contribs.append((vids_act, H_act))
+                for ids, Hf in fric_blocks:
+                    contribs.append((ids, Hf))
+                Ainv_c = coarse_assemble(mesh.mass, contribs)
+
+                def precond(r):
+                    return apply_block_precond(inv_diag, r) + coarse_term(Ainv_c, r)
+            else:
+                def precond(r):
+                    return apply_block_precond(inv_diag, r)
+
             rhs = -g
             dx, iters, rel = pcg(
                 operator,
                 rhs,
-                lambda r: apply_block_precond(inv_diag, r),
+                precond,
                 tol=p.pcg_tol,
                 maxiter=p.pcg_maxiter,
             )
@@ -664,7 +690,9 @@ class IPCStepper:
                 dx, g, pcg_iters, pcg_rel, active_count = self._search_dir(
                     x, x_tilde, kappa, dHat, cand, fric, fext, damp
                 )
-                if self.sc is None or not self.sc.ensure_active_cap(active_count):
+                if self.sc is None or not self.sc.ensure_active_cap(
+                    int(active_count[0]), int(active_count[1])
+                ):
                     break
                 self._build_kernels()  # cap grew; re-trace
             dist_to_opt = float(jnp.abs(dx).max())

@@ -54,6 +54,77 @@ def test_jit_matches_host(params):
     assert not bool(hit)
 
 
+def test_scripted_twist_jit_matches_host():
+    """Scripted DBC motion (twist handles) runs inside the jitted step:
+    handle trajectories match the host path exactly (same rigid motion),
+    free vertices agree to solver tolerance."""
+    from ipc_tpu.models.primitives import mat
+    from ipc_tpu.scripting import build_script
+
+    V, T = mat(4, size=1.0)
+    mesh0, meta0 = build_mesh(V, T)
+    surface_mask = np.zeros(len(V), bool)
+    surface_mask[np.asarray(mesh0.surf_verts)] = True
+    script = build_script("twist", V, surface_mask, [(0, len(V))], handle_ratio=0.11)
+    xs = {}
+    for path in ("host", "jit"):
+        mesh, meta = build_mesh(V, T, dbc_mask=script.dbc_mask())
+        sc = SelfContact(mesh, meta, friction=0.0)
+        st = IPCStepper(
+            mesh, meta, SimParams(gravity=(0, 0, 0)), self_contact=sc, script=script
+        )
+        state = st.initial_state()
+        if path == "jit":
+            step = make_jit_step(st, donate=False)
+            for _ in range(4):
+                state, jstats = step(state)
+            assert float(jstats.script_scale) == 1.0
+        else:
+            for _ in range(4):
+                state, _ = st.step(state)
+        xs[path] = np.asarray(state.x)
+    dbc = script.dbc_mask()
+    np.testing.assert_allclose(xs["jit"][dbc], xs["host"][dbc], atol=1e-6)
+    np.testing.assert_allclose(xs["jit"], xs["host"], atol=5e-3)
+    # the handles actually rotated
+    hv = script.handles[0].verts
+    assert np.abs(xs["jit"][hv][:, 1:] - np.asarray(V)[hv][:, 1:]).max() > 1e-3
+
+
+def test_nbc_force_jit_matches_host():
+    """Time-gated NBC force fields evaluate on device: the jit path matches
+    the host path pulling a free cube sideways."""
+    from ipc_tpu.scripting import NBCGroup, Script
+
+    V1, T1 = cube(1)
+    V1 = V1 + np.array([0.0, 0.5, 0.0])
+    mesh, meta = build_mesh(V1, T1)
+    n = len(V1)
+    top = np.where(np.asarray(V1)[:, 1] > 0.9 + 0.5 - 1e-6)[0]
+    script = Script(
+        n_verts=n,
+        nbc_groups=[NBCGroup(verts=top, force=np.array([4.0, 9.80665, 0.0]))],
+    )
+    xs = {}
+    for path in ("host", "jit"):
+        m, mt = build_mesh(V1, T1)
+        st = IPCStepper(m, mt, SimParams(), script=script)
+        state = st.initial_state()
+        if path == "jit":
+            step = make_jit_step(st, donate=False)
+            for _ in range(3):
+                state, _ = step(state)
+        else:
+            for _ in range(3):
+                state, _ = st.step(state)
+        xs[path] = np.asarray(state.x)
+    # both paths converge within the Newton tolerance ball (target_gres
+    # ~4e-4 on this scene); the warm starts differ so the iterates do too
+    np.testing.assert_allclose(xs["jit"], xs["host"], atol=5e-4)
+    # the force did push the cube in +x
+    assert (xs["jit"][:, 0].mean()) > np.asarray(V1)[:, 0].mean() + 1e-4
+
+
 def test_damping_gradient_consistent():
     """The damping term's gradient must be the FD derivative of its energy
     through the jitted kernels. (Realistic dampingStiff is TINY — the only

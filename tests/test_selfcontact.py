@@ -96,8 +96,9 @@ class TestActiveCompaction:
         x = jnp.asarray(np.asarray(mesh.x_rest) + rng.uniform(-5e-4, 5e-4, (meta.n_verts, 3)))
         cand = sc.build_candidates(x, jnp.zeros_like(x), np.sqrt(dHat) * 2)
         H_pt, H_ee = sc.hessian_blocks(x, cand, 2.0, dHat, True)
-        vids_a, H_a, cnt = sc.hessian_blocks_active(x, cand, 2.0, dHat, True)
-        assert 0 < int(cnt) <= sc.cap_active
+        vids_a, H_a, (cnt_pt, cnt_ee) = sc.hessian_blocks_active(x, cand, 2.0, dHat, True)
+        assert 0 < int(cnt_pt) <= sc.cap_act_pt
+        assert 0 < int(cnt_ee) <= sc.cap_act_ee
         v = jnp.asarray(rng.normal(size=x.shape))
 
         def apply(vids, H):
