@@ -115,9 +115,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     # AnimScripter.cpp:1398-2276). Mesh-sequence scripts need per-frame file
     # IO and must use the host path.
     script = stepper.script
-    if script is not None and script.mesh_seqs:
+    if script is not None and script.host_only():
         raise ValueError(
-            "mesh-sequence scripted scenes need the host path (per-frame file IO)"
+            "mesh-sequence / turning-point scripted scenes need the host path"
         )
     disp_fn, fext_fn = (
         device_closures(script, dtype, dt) if script is not None else (None, None)
@@ -422,13 +422,24 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     def step(state: SimState):
         script_scale = jnp.asarray(1.0, dtype)
         if disp_fn is not None:
-            # scripted DBC motion with intersection backtracking (reference
-            # stepAnimScript's halving loop; the ET pairs are built swept by
-            # the FULL displacement so one broad phase covers every trial)
+            # scripted DBC motion, clamped exactly like the reference
+            # stepAnimScript: elasticity inversion filter + mesh CCD +
+            # intersection backtracking (AnimScripter.cpp:2158-2250). The
+            # ET pairs are built swept by the FULL displacement so one
+            # broad phase covers every trial. A completed fraction < 1 is
+            # reported in stats.script_scale; the sim loop redoes such
+            # steps on the host path's augmented-Lagrangian solver.
             x_s = state.x
             disp = disp_fn(x_s, state.t)
+            script_scale = jnp.minimum(
+                script_scale, EL.filter_step_size(x_s, disp, mesh, p.model)
+            )
             if sc is not None:
                 cand_s = build_cand(x_s, disp)
+                script_scale = script_scale * sc.ccd_alpha(
+                    x_s, script_scale * disp, cand_s,
+                    1.0 - p.ccd_slackness_m, p.ccd_max_iter,
+                )
 
                 def sb_cond(c):
                     s, done = c

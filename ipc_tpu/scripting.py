@@ -13,12 +13,17 @@ elsewhere) that the stepper applies before the implicit solve — the analog
 of the reference building `searchDir` for the scripted motion
 (AnimScripter.cpp:1412-2149).
 
-Named scripts implemented (the ones the tutorial/paper scenes use most):
-null, drop, fall, leftHitRight, XYRotate (initial-velocity scripts);
-hang, stand, topBottomFix, fixLowerHalf (static DBC selections);
-twist, bend, twistnstretch, stretch, squash, stretchnsquash (handle-driven
-moving DBC, reference :529-700, :1640-1750). Unknown names fall back to
-null with a warning, so unported scenes still load.
+Named scripts: the full AnimScriptType registry is ported — initial-velocity
+scripts (drop, fall, leftHitRight, XYRotate), static DBC selections (hang*,
+stand*, stamp*, topBottomFix, fixLowerHalf, corner, swing, curtain,
+fixRightmost1), moving-DBC scripts with velocity turning points (push, tear,
+undstamp, upndown, stretch*, squash, toggleTop, drag*, rubberBandPull,
+fourLegPull, headTailPull, pushRightmost1), handle rotations (twist, bend,
+twistnstretch, twistnsns*), initial-configuration transforms (scaleF,
+onePoint, random, stampInv, standInv), NBC scripts (NMFixBottomDrag*,
+utopia_comparison), codimensional/collision-object scripts (DCO*, MCO*,
+ACOSquash*, meshSeq_fromfile). Unknown names fall back to null with a
+warning, so unported scenes still load.
 """
 
 import math
@@ -58,6 +63,26 @@ class HandleMotion:
 
 
 @dataclass
+class TurningRule:
+    """Velocity turning point (reference velocityTurningPoints +
+    per-script handling in stepAnimScript, AnimScripter.cpp:1556-1808):
+    watches one vertex's coordinate and mutates the listed groups'/handles'
+    linear velocities when it crosses a bound.
+
+    action: 'stop' zeroes them once; 'flip_once' negates them once;
+    'flip_band' negates them every step spent outside [lo, hi]."""
+
+    vert: int
+    axis: int
+    lo: float = -math.inf
+    hi: float = math.inf
+    action: str = "stop"
+    group_ids: tuple = ()
+    handle_ids: tuple = ()
+    active: bool = True
+
+
+@dataclass
 class MeshSeqMotion:
     """A kinematic component following a mesh-file sequence
     (reference AST_MESHSEQ_FROMFILE + per-shape meshSeq,
@@ -79,7 +104,10 @@ class Script:
     nbc_groups: list = field(default_factory=list)
     handles: list = field(default_factory=list)
     mesh_seqs: list = field(default_factory=list)
+    turning: list = field(default_factory=list)  # TurningRule list
+    mco_motions: list = field(default_factory=list)  # per-MeshCO lin/ang vel
     init_velocity_fn: object = None  # (V,3) -> (V,3)
+    x0_transform: object = None  # rest V -> initial positions (scaleF etc.)
     dbc_time_range: tuple = (0.0, math.inf)
     nbc_time_range: tuple = (0.0, math.inf)
 
@@ -108,6 +136,38 @@ class Script:
             for g in self.dbc_groups
         )
 
+    def host_only(self):
+        """True when the script needs per-step host work (file IO or
+        stateful turning rules) and cannot run inside the jitted step."""
+        return bool(self.mesh_seqs or self.turning)
+
+    def _apply_turning(self, x):
+        """Mutate group/handle velocities per the active turning rules
+        (reference stepAnimScript's velocityTurningPoints handling)."""
+        for tr in self.turning:
+            if not tr.active:
+                continue
+            c = x[tr.vert, tr.axis]
+            outside = c <= tr.lo or c >= tr.hi
+            if not outside:
+                continue
+            for gi in tr.group_ids:
+                g = self.dbc_groups[gi]
+                if g.linear_vel is not None:
+                    if tr.action == "stop":
+                        g.linear_vel = np.zeros(3)
+                    else:
+                        g.linear_vel = -np.asarray(g.linear_vel)
+            for hi_ in tr.handle_ids:
+                h = self.handles[hi_]
+                if h.lin_vel is not None:
+                    if tr.action == "stop":
+                        h.lin_vel = np.zeros(3)
+                    else:
+                        h.lin_vel = -np.asarray(h.lin_vel)
+            if tr.action in ("stop", "flip_once"):
+                tr.active = False
+
     def step_displacement(self, x, t, dt):
         """(V,3) scripted displacement over [t, t+dt] (zero off-DBC).
 
@@ -117,6 +177,8 @@ class Script:
         about a fixed center (:1674-1684).
         """
         disp = np.zeros_like(x)
+        if self.turning:
+            self._apply_turning(x)
         lo, hi = self.dbc_time_range
         in_global = (t >= lo) and (t < hi)
         for g in self.dbc_groups:
@@ -413,25 +475,152 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
             return v
 
         sc.init_velocity_fn = f
-    elif name_l in ("hang", "hang2"):
-        top = sel(V[:, 1] > hi[1] - rng[1] * handle_ratio)
-        sc.dbc_groups.append(DBCGroup(top))
-    elif name_l in ("stand", "standinv"):
-        bottom = sel(V[:, 1] < lo[1] + rng[1] * handle_ratio)
-        sc.dbc_groups.append(DBCGroup(bottom))
+    elif name_l == "stand":
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.01)))
     elif name_l == "topbottomfix":
-        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] > hi[1] - rng[1] * handle_ratio)))
-        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * handle_ratio)))
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] > hi[1] - rng[1] * 0.02)))
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.02)))
     elif name_l == "fixlowerhalf":
         sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.5)))
-    elif name_l in ("twist", "bend", "twistnstretch"):
-        left, right = _border_verts(V, handle_ratio)
-        rates = {"twist": -0.4 * math.pi, "bend": -0.05 * math.pi, "twistnstretch": -0.1 * math.pi}
+    elif name_l == "hang":
+        # fix one vertex per border ring (reference AST_HANG fixes
+        # borderVerts_primitive[i].back(); we pick each ring's top vertex)
+        for ring in _border_verts(V, handle_ratio):
+            if len(ring):
+                sc.dbc_groups.append(DBCGroup(ring[np.argmax(V[ring, 1])][None]))
+    elif name_l == "hang2":
+        top = sel(V[:, 1] > hi[1] - rng[1] * 0.01)
+        sc.dbc_groups.append(DBCGroup(top))
+    elif name_l == "hangtopleft":
+        ring = _border_verts(V, handle_ratio)[0]
+        m = (V[ring, 1] > hi[1] - rng[1] * 0.01) & (
+            (V[ring, 2] > hi[2] - rng[2] * 0.01) | (V[ring, 2] < lo[2] + rng[2] * 0.01)
+        )
+        sc.dbc_groups.append(DBCGroup(ring[m]))
+    elif name_l == "hangleft":
+        sc.dbc_groups.append(DBCGroup(_border_verts(V, handle_ratio)[0]))
+    elif name_l == "swing":
+        shift = np.array([0.0, 1.3 * rng[1], 0.0])
+        sc.x0_transform = lambda Vx: Vx + shift[None, :]
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 0] < lo[0] + rng[0] * 0.05)))
+    elif name_l == "scalef":
+        sc.x0_transform = lambda Vx: 1.5 * Vx
+    elif name_l == "onepoint":
+        c = bbox_center + np.array([0.0, 0.5 * rng[1], 0.0])
+        sc.x0_transform = lambda Vx: np.broadcast_to(c, Vx.shape).copy()
+    elif name_l == "random":
+        def f(Vx):
+            r = np.random.default_rng(0).uniform(-0.5, 0.5, Vx.shape)
+            off = bbox_center + np.array([0.0, 0.5 * rng[1], 0.0]) - r[0]
+            return r + off[None, :]
+
+        sc.x0_transform = f
+    elif name_l in ("stamp", "stampboth"):
+        rings = _border_verts(V, handle_ratio)
+        sc.dbc_groups.append(DBCGroup(rings[0]))
+        if name_l == "stampboth":
+            sc.dbc_groups.append(DBCGroup(rings[1]))
+    elif name_l == "stamptopleft":
+        ring = _border_verts(V, handle_ratio)[0]
+        sc.dbc_groups.append(DBCGroup(ring[V[ring, 1] > hi[1] - rng[1] * 0.01]))
+    elif name_l == "stampinv":
+        fixed = sel(V[:, 0] < lo[0] + rng[0] * 0.01)
+        sc.dbc_groups.append(DBCGroup(fixed))
+        x_off = 1.1 * V[fixed[0], 0] if len(fixed) else 0.0
+
+        def f(Vx, x_off=x_off):
+            out = Vx.copy()
+            out[:, 0] = -0.1 * Vx[:, 0] + x_off
+            return out
+
+        sc.x0_transform = f
+    elif name_l == "standinv":
+        fixed = sel(V[:, 1] < lo[1] + rng[1] * 0.01)
+        sc.dbc_groups.append(DBCGroup(fixed))
+        y_off = 1.1 * V[fixed[0], 1] if len(fixed) else 0.0
+
+        def f(Vx, y_off=y_off):
+            out = Vx.copy()
+            out[:, 1] = -0.1 * Vx[:, 1] + y_off
+            return out
+
+        sc.x0_transform = f
+    elif name_l == "corner":
+        m = (
+            (V[:, 0] < lo[0] + rng[0] * 0.01)
+            | (V[:, 1] < lo[1] + rng[1] * 0.01)
+            | (V[:, 2] < lo[2] + rng[2] * 0.01)
+        )
+        sc.dbc_groups.append(DBCGroup(sel(m)))
+    elif name_l == "push":
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.01)))
+        top = sel(V[:, 1] > hi[1] - rng[1] * 0.01)
+        sc.dbc_groups.append(DBCGroup(top, np.array([0.0, -1.0, 0.0])))
+        sc.turning.append(
+            TurningRule(vert=int(top[0]), axis=1, lo=V[top[0], 1] - 0.5,
+                        action="stop", group_ids=(1,))
+        )
+    elif name_l == "tear":
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.01)))
+        top = sel(V[:, 1] > hi[1] - rng[1] * 0.01)
+        sc.dbc_groups.append(DBCGroup(top, np.array([-5.0, 0.0, 0.0])))
+        sc.turning.append(
+            TurningRule(vert=int(top[0]), axis=0, lo=V[top[0], 0] - 4.0,
+                        action="flip_once", group_ids=(1,))
+        )
+    elif name_l in ("undstamp", "upndown"):
+        rings = _border_verts(V, handle_ratio)
+        n_rings = 1 if name_l == "undstamp" else 2
+        gids = []
+        for bI in range(n_rings):
+            gids.append(len(sc.dbc_groups))
+            sc.dbc_groups.append(
+                DBCGroup(rings[bI], np.array([0.0, (-1.0) ** bI * 1.8, 0.0]))
+            )
+        tp = int(rings[0][0])
+        sc.turning.append(
+            TurningRule(vert=tp, axis=1, lo=V[tp, 1] - 0.6, hi=V[tp, 1] + 0.6,
+                        action="flip_band", group_ids=tuple(gids))
+        )
+    elif name_l in ("stretch", "squash", "stretchnsquash"):
+        speed = {"stretch": -0.1, "squash": 0.03, "stretchnsquash": -0.9}[name_l]
+        rings = _border_verts(V, handle_ratio)
+        for bI, verts in enumerate(rings):
+            sc.dbc_groups.append(
+                DBCGroup(verts, np.array([(-1.0) ** bI * speed, 0.0, 0.0]))
+            )
+        if name_l == "stretchnsquash":
+            tp = int(rings[0][0])
+            sc.turning.append(
+                TurningRule(vert=tp, axis=0, lo=V[tp, 0] - 0.8, hi=V[tp, 0] + 0.4,
+                            action="flip_band", group_ids=(0, 1))
+            )
+    elif name_l == "stretchnpause":
+        left = sel(V[:, 0] < lo[0] + rng[0] * 0.01)
+        right = sel(V[:, 0] > hi[0] - rng[0] * 0.01)
+        sc.dbc_groups.append(DBCGroup(left, np.array([-1.0, 0.0, 0.0])))
+        sc.dbc_groups.append(DBCGroup(right, np.array([1.0, 0.0, 0.0])))
+        sc.turning.append(
+            TurningRule(vert=int(left[0]), axis=0, lo=-0.28, action="stop",
+                        group_ids=(0, 1))
+        )
+    elif name_l in ("twist", "bend", "twistnstretch", "twistnsns", "twistnsns_old"):
+        rings = _border_verts(V, handle_ratio)
+        rates = {
+            "twist": -0.4 * math.pi,
+            "bend": -0.05 * math.pi,
+            "twistnstretch": -0.1 * math.pi,
+            "twistnsns": -0.4 * math.pi,
+            "twistnsns_old": -0.4 * math.pi,
+        }
+        lin_speed = {"twistnstretch": -0.1, "twistnsns": -1.2, "twistnsns_old": -0.9}
         axis = np.array([0.0, 0.0, 1.0]) if name_l == "bend" else np.array([1.0, 0.0, 0.0])
-        for bI, verts in enumerate((left, right)):
+        hids = []
+        for bI, verts in enumerate(rings):
             lin = None
-            if name_l == "twistnstretch":
-                lin = np.array([(-1.0) ** bI * -0.1, 0.0, 0.0])
+            if name_l in lin_speed:
+                lin = np.array([(-1.0) ** bI * lin_speed[name_l], 0.0, 0.0])
+            hids.append(len(sc.handles))
             sc.handles.append(
                 HandleMotion(
                     verts=verts,
@@ -441,15 +630,138 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
                     lin_vel=lin,
                 )
             )
-    elif name_l == "dcofix":
-        # fix every codimensional component (reference AST_DCOFIX)
+        if name_l in ("twistnsns", "twistnsns_old"):
+            back = 1.2 if name_l == "twistnsns" else 0.8
+            tp = int(rings[0][0])
+            sc.turning.append(
+                TurningRule(vert=tp, axis=0, lo=V[tp, 0] - back, hi=V[tp, 0] + 0.4,
+                            action="flip_band", handle_ids=tuple(hids))
+            )
+    elif name_l == "rubberbandpull":
+        top = sel(V[:, 1] > hi[1] - rng[1] * 0.02)
+        bot = sel(V[:, 1] < lo[1] + rng[1] * 0.02)
+        waist = sel(
+            (V[:, 1] < hi[1] - rng[1] * 0.48) & (V[:, 1] > lo[1] + rng[1] * 0.48)
+        )
+        sc.dbc_groups.append(DBCGroup(top, np.array([0.0, 0.2, 0.0])))
+        sc.dbc_groups.append(DBCGroup(bot, np.array([0.0, -0.2, 0.0])))
+        sc.dbc_groups.append(DBCGroup(waist, np.array([-2.5, 0.0, 0.0])))
+        tp = waist if len(waist) else top
+        if len(tp):
+            sc.turning.append(
+                TurningRule(vert=int(tp[0]), axis=0, lo=V[tp[0], 0] - 5.0,
+                            action="stop", group_ids=(0, 1, 2))
+            )
+    elif name_l == "fourlegpull":
+        lt = sel((V[:, 1] > hi[1] - rng[1] * 0.129) & (V[:, 0] < lo[0] + rng[0] * 0.16))
+        rt = sel((V[:, 1] > hi[1] - rng[1] * 0.16) & (V[:, 0] > hi[0] - rng[0] * 0.16))
+        br = sel((V[:, 1] < lo[1] + rng[1] * 0.02) & (V[:, 0] > hi[0] - rng[0] * 0.25))
+        bl = sel((V[:, 1] < lo[1] + rng[1] * 0.02) & (V[:, 0] < lo[0] + rng[0] * 0.25))
+        sc.dbc_groups.append(DBCGroup(lt))
+        sc.dbc_groups.append(DBCGroup(rt, np.array([2.5, 0.0, 0.0])))
+        sc.dbc_groups.append(DBCGroup(br, np.array([2.5, -3.5, 0.0])))
+        sc.dbc_groups.append(DBCGroup(bl, np.array([0.0, -3.5, 0.0])))
+        if len(bl):
+            sc.turning.append(
+                TurningRule(vert=int(bl[0]), axis=1, lo=V[bl[0], 1] - 5.0,
+                            action="stop", group_ids=(1, 2, 3))
+            )
+    elif name_l == "headtailpull":
+        head = sel(V[:, 2] < lo[2] + rng[2] * 0.02)
+        tail = sel(V[:, 2] > hi[2] - rng[2] * 0.02)
+        mid = sel(
+            (V[:, 2] > lo[2] + rng[2] * 0.46) & (V[:, 2] < lo[2] + rng[2] * 0.54)
+        )
+        sc.dbc_groups.append(DBCGroup(head, np.array([3.5, 0.0, 0.0])))
+        sc.dbc_groups.append(DBCGroup(tail, np.array([3.5, 0.0, 0.0])))
+        sc.dbc_groups.append(DBCGroup(mid))
+        if len(head):
+            sc.turning.append(
+                TurningRule(vert=int(head[0]), axis=0, hi=V[head[0], 0] + 4.5,
+                            action="stop", group_ids=(0, 1))
+            )
+    elif name_l in ("dragdown", "dragright"):
+        shift = np.array([0.0, 0.5 * float(np.linalg.norm(rng)), 0.0])
+        sc.x0_transform = lambda Vx: Vx + shift[None, :]
+        if name_l == "dragdown":
+            grab = sel(
+                (V[:, 1] < lo[1] + rng[1] * 0.1)
+                & (V[:, 0] < lo[0] + rng[0] * 0.52)
+                & (V[:, 0] > lo[0] + rng[0] * 0.42)
+            )
+            sc.dbc_groups.append(DBCGroup(grab, np.array([0.0, -1.5, 0.0])))
+        else:
+            grab = sel(V[:, 0] > hi[0] - rng[0] * 0.04)
+            sc.dbc_groups.append(DBCGroup(grab, np.array([0.5, 0.0, 0.0])))
+    elif name_l == "toggletop":
+        top = sel(V[:, 1] > hi[1] - rng[1] * 0.02)
+        sc.dbc_groups.append(DBCGroup(top, np.array([-0.5, 0.0, 0.0])))
+        sc.turning.append(
+            TurningRule(vert=int(top[0]), axis=0, lo=V[top[0], 0] - 0.1,
+                        action="stop", group_ids=(0,))
+        )
+    elif name_l == "curtain":
+        for pin in range(8):
+            cx = lo[0] + rng[0] / 7.0 * pin
+            m = (
+                (V[:, 0] > cx - rng[0] * 0.0025)
+                & (V[:, 0] < cx + rng[0] * 0.0025)
+                & (V[:, 1] > hi[1] - rng[1] * 0.005)
+            )
+            pins = sel(m)
+            if len(pins):
+                sc.dbc_groups.append(
+                    DBCGroup(pins, np.array([0.04 * (7.0 - pin) / 7.0, 0.0, 0.0]))
+                )
+    elif name_l in ("fixrightmost1", "pushrightmost1"):
+        cand_ = sel(V[:, 0] > hi[0] - 1e-3 * rng[0])
+        one = cand_[:1]
+        vel = np.array([-0.15, 0.0, 0.0]) if name_l == "pushrightmost1" else None
+        sc.dbc_groups.append(DBCGroup(one, vel))
+    elif name_l in ("nmfixbottomdragleft", "nmfixbottomdragforward"):
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[1] * 0.05)))
+        s = -600.0 if name_l == "nmfixbottomdragleft" else 600.0
+        sc.nbc_groups.append(
+            NBCGroup(sel(V[:, 1] > hi[1] - rng[1] * 0.05), np.array([s, 0.0, 0.0]))
+        )
+    elif name_l == "utopia_comparison":
+        # note: the reference gates BOTH selections on range[0] (the
+        # x-extent) — ported verbatim (AnimScripter.cpp:1285-1300)
+        sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[0] * 1e-4)))
+        sc.nbc_groups.append(
+            NBCGroup(sel(V[:, 1] > hi[1] - rng[0] * 1e-4), np.array([0.0, -1.5, 0.0]))
+        )
+    elif name_l in ("dcofix", "dcoballhitwall", "meshseq_fromfile"):
+        # fix every codimensional component (reference AST_DCOFIX /
+        # AST_DCOBALLHITWALL / AST_MESHSEQ_FROMFILE share the selection)
         for ci, (s0, s1) in enumerate(comp_ranges):
             if comp_codim is not None and comp_codim[ci] < 3:
                 sc.dbc_groups.append(DBCGroup(np.arange(s0, s1)))
+    elif name_l in ("dcosegbedsquash", "dcosqueezeout"):
+        n_comp = len(comp_ranges)
+        for ci, (s0, s1) in enumerate(comp_ranges):
+            if comp_codim is not None and comp_codim[ci] < 3:
+                vel = None
+                if name_l == "dcosegbedsquash" and ci >= (n_comp + 1) // 2:
+                    vel = np.array([0.0, -1.0, 0.0])
+                if name_l == "dcosqueezeout" and ci == 0:
+                    vel = np.array([0.0, -0.3, 0.0])
+                sc.dbc_groups.append(DBCGroup(np.arange(s0, s1), vel))
+    elif name_l in ("dcosquash", "dcosquash6"):
+        n_move = 2 if name_l == "dcosquash" else 6
+        vels = [
+            np.array([1.0, 0, 0]), np.array([-1.0, 0, 0]),
+            np.array([0, 1.0, 0]), np.array([0, -1.0, 0]),
+            np.array([0, 0, 1.0]), np.array([0, 0, -1.0]),
+        ]
+        for ci, (s0, s1) in enumerate(comp_ranges):
+            if comp_codim is not None and comp_codim[ci] < 3:
+                vel = vels[ci] if ci < n_move else None
+                sc.dbc_groups.append(DBCGroup(np.arange(s0, s1), vel))
     elif name_l in ("dcorotcylinders", "dcoverschoorroller"):
         # the first N scene components rotate rigidly about their own bbox
-        # centers at fixed rates (reference AST_DCOROTCYLINDERS /
-        # AST_DCOVERSCHOORROLLER, AnimScripter.cpp)
+        # centers at fixed rates (reference AST_DCOROTCYLINDERS
+        # AnimScripter.cpp:1060-1086 / AST_DCOVERSCHOORROLLER :1088-1120)
         if name_l == "dcorotcylinders":
             rates = [
                 (np.array([1.0, 0, 0]), math.pi / 2),
@@ -481,16 +793,29 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
             if comp_codim is not None and comp_codim[ci] < 3:
                 s0, s1 = comp_ranges[ci]
                 sc.dbc_groups.append(DBCGroup(np.arange(s0, s1)))
-    elif name_l in ("stretch", "squash", "stretchnsquash"):
-        left, right = _border_verts(V, handle_ratio)
-        speed = 0.1 * rng[0]
-        sign = -1.0 if name_l == "squash" else 1.0
-        for bI, verts in enumerate((left, right)):
-            lin = np.array([(-1.0) ** (bI + 1) * -sign * speed, 0.0, 0.0])
-            sc.handles.append(
-                HandleMotion(verts=verts, ang_vel=0.0, axis=np.array([1.0, 0, 0]),
-                             center=bbox_center.copy(), lin_vel=lin)
-            )
+    elif name_l in ("dcohammerwalnut", "dcocut"):
+        for ci, (s0, s1) in enumerate(comp_ranges):
+            if comp_codim is not None and comp_codim[ci] < 3:
+                sc.dbc_groups.append(DBCGroup(np.arange(s0, s1)))
+        # the moving tool is the first MeshCO (reference MCOVelocity)
+        sc.mco_motions.append(
+            dict(lin=np.array([0.0, -1.0, -1.0]) if name_l == "dcocut"
+                 else np.array([0.0, -1.0, 0.0]), ang=None)
+        )
+    elif name_l in ("mcosquash", "acosquash", "acosquashshear"):
+        # two collision objects squashing along x (reference MCO/ACOVelocity)
+        sc.mco_motions.append(dict(lin=np.array([1.0, 0.0, 0.0]), ang=None))
+        sc.mco_motions.append(dict(lin=np.array([-1.0, 0.0, 0.0]), ang=None))
+    elif name_l == "acosquash6":
+        for v in ([1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]):
+            sc.mco_motions.append(dict(lin=np.array(v, float), ang=None))
+    elif name_l == "mcorotsquash":
+        sc.mco_motions.append(dict(lin=None, ang=np.array([0.0, 0.0, math.pi])))
+        sc.mco_motions.append(dict(lin=None, ang=np.array([0.0, 0.0, math.pi])))
+    elif name_l == "mcorotcylinders":
+        for a in ([math.pi / 2, 0, 0], [-math.pi / 2, 0, 0],
+                  [0, 0, -math.pi / 2], [0, 0, math.pi / 2]):
+            sc.mco_motions.append(dict(lin=None, ang=np.array(a, float)))
     else:
         warnings.warn(f"script '{name}' not implemented; treating as null")
     return sc

@@ -209,6 +209,39 @@ class Simulation:
             self.mesh, self.meta = mesh, meta
             # script arrays must cover the appended CO vertices
             script.n_verts = meta.n_verts
+            # scripted MeshCO motion (reference MCOVelocity/MCOAngVel +
+            # ACOVelocity families): bind each motion to the matching CO's
+            # vertex range; rotations spin about the CO origin
+            from ipc_tpu.scripting import DBCGroup as _DBCGroup
+            from ipc_tpu.scripting import HandleMotion as _HandleMotion
+
+            for mi, motion in enumerate(script.mco_motions):
+                if mi >= len(self.mesh_co_ranges):
+                    break
+                s0, s1 = self.mesh_co_ranges[mi]
+                verts = np.arange(s0, s1)
+                ang = motion.get("ang")
+                if ang is not None and np.any(ang):
+                    axis_i = int(np.argmax(np.abs(ang)))
+                    axis = np.zeros(3)
+                    axis[axis_i] = 1.0
+                    script.handles.append(
+                        _HandleMotion(
+                            verts=verts,
+                            ang_vel=float(ang[axis_i]),
+                            axis=axis,
+                            center=np.asarray(cfg.mesh_cos[mi].origin, float),
+                            lin_vel=motion.get("lin"),
+                        )
+                    )
+                else:
+                    script.dbc_groups.append(_DBCGroup(verts, motion.get("lin")))
+            if script.mco_motions:
+                dbc2 = np.asarray(mesh.dbc_mask) | script.dbc_mask()
+                mesh = __import__("dataclasses").replace(
+                    mesh, dbc_mask=jnp.asarray(dbc2)
+                )
+                self.mesh = mesh
             self.script = script
 
         sc = None
@@ -264,7 +297,14 @@ class Simulation:
                 return load_status(self.cfg.restart_path, self.stepper)
             return load_status_text(self.cfg.restart_path, self.stepper)
         v0 = self.script.initial_velocity(np.asarray(self.mesh.x_rest))
-        return self.stepper.initial_state(v0=v0)
+        x0 = None
+        if self.script.x0_transform is not None:
+            # scripts that start from a transformed configuration (scaleF /
+            # swing / *inv / onepoint / random / drag* families) keep the
+            # rest shape and move only the initial positions (the reference
+            # mutates mesh.V after restTriInv is built — same semantics)
+            x0 = self.script.x0_transform(np.asarray(self.mesh.x_rest))
+        return self.stepper.initial_state(x0=x0, v0=v0)
 
     def run(self, out_dir, n_steps=None, save_every=1, use_jit_step=False, verbose=False):
         """Offline loop (reference progMode=offline, main.cpp:1419-1453):
@@ -277,10 +317,11 @@ class Simulation:
 
         step_fn = None
         if use_jit_step:
-            if self.script is not None and self.script.mesh_seqs:
+            if self.script is not None and self.script.host_only():
                 raise ValueError(
                     "use_jit_step does not support mesh-sequence scripts "
-                    "(per-frame file IO); run the host path for those scenes"
+                    "(per-frame file IO) or velocity turning points "
+                    "(stateful host rules); run the host path for those scenes"
                 )
             from ipc_tpu.jit_step import make_jit_step
 
@@ -305,15 +346,27 @@ class Simulation:
         for k in range(start, total):
             with logger.timers.section("step"):
                 if step_fn is not None:
+                    prev_state = state
                     state, jstats = step_fn(state)
+                    if (
+                        self.script is not None
+                        and self.script.has_motion()
+                        and float(jstats.script_scale) < 1.0 - 1e-3
+                    ):
+                        # scripted motion blocked by contact: redo this step
+                        # on the host path, whose moving-DBC augmented
+                        # Lagrangian completes the displacement (the jit
+                        # step has no AL mode; see jit_step.py docstring)
+                        state, stats = self.stepper.step(prev_state, verbose=verbose)
+                    else:
 
-                    class _S:  # adapt JitStepStats to the logger
-                        iters = int(jstats.newton_iters)
-                        alphas = [float(jstats.last_alpha)]
-                        n_constraints = [int(jstats.pt_count) + int(jstats.ee_count)]
-                        grad_inf = [float(jstats.dist_to_opt)]
+                        class _S:  # adapt JitStepStats to the logger
+                            iters = int(jstats.newton_iters)
+                            alphas = [float(jstats.last_alpha)]
+                            n_constraints = [int(jstats.pt_count) + int(jstats.ee_count)]
+                            grad_inf = [float(jstats.dist_to_opt)]
 
-                    stats = _S()
+                        stats = _S()
                 else:
                     state, stats = self.stepper.step(state, verbose=verbose)
             self._last_state = state

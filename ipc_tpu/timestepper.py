@@ -71,8 +71,12 @@ class SimParams:
     kappa_min_mult: float = 1e11
     adaptive_kappa: bool = True
     fric_iter_amt: int = 1
-    warm_start: int = 0  # 0 = none, 1 = feasibility-filtered inertia
-                         # predictor (reference initX modes, :924-1233)
+    warm_start: int = 0  # reference initX modes (Optimizer.cpp:924-1233):
+                         # 0 none; 1 explicit Euler dt*v; 2 xHat predictor
+                         # dt*v + g dt^2 (BE) / + g dt^2/2 (NM); 3 symplectic
+                         # Euler (adds dx_Elastic); 4 uniformly-accelerated
+                         # (adds dx_Elastic/2). All are feasibility-filtered
+                         # (inversion + CCD) before acceptance.
     max_newton: int = 10000
     # inexact Newton: a loose relative linear-solve tolerance; the Armijo
     # line search guarantees descent regardless (any PCG iterate of an SPD
@@ -82,6 +86,11 @@ class SimParams:
     # two-level aggregation preconditioner (solver/coarse.py) — the analog
     # of the reference's AMGCL smoothed-aggregation option
     coarse_precond: bool = True
+    # moving-DBC augmented Lagrangian: when scripted motion cannot complete
+    # (CCD/intersection-limited), free the DBC verts and pull them to their
+    # targets with an AL penalty (reference m_projectDBC/rho_DBC machinery,
+    # Optimizer.cpp:2168-2203, AnimScripter.cpp:2302-2380)
+    mdbc_al: bool = True
     ccd_slackness_a: float = 0.9  # analytic CO step slack (solveSub_IP :1885)
     ccd_slackness_m: float = 0.8  # mesh CCD: keep 1-slackness of the gap
     ccd_max_iter: int = 64
@@ -105,10 +114,14 @@ class SimState:
     a: Any
     t: Any = 0.0
     step: Any = 0
+    # elastic correction x - xTilta of the last solve (reference dx_Elastic,
+    # Optimizer.cpp:574-583); None unless warm_start >= 3 needs it
+    dx_el: Any = None
 
 
 jax.tree_util.register_dataclass(
-    SimState, data_fields=["x", "x_prev", "v", "a", "t", "step"], meta_fields=[]
+    SimState, data_fields=["x", "x_prev", "v", "a", "t", "step", "dx_el"],
+    meta_fields=[]
 )
 
 
@@ -151,6 +164,8 @@ class IPCStepper:
         self.dHat_target = (params.dhat_target_rel**2) * self.bbox_diag2
         self.dTol = (params.dtol_rel**2) * self.bbox_diag2
         self.target_gres = np.sqrt(params.rel_gl2_tol * self.bbox_diag2 * self.dtSq)
+        # MDBC pull threshold (reference CN_MBC, Optimizer.cpp:268)
+        self.cn_mbc = np.sqrt(1e-4 * self.bbox_diag2 * self.dtSq)
         self.epsv_h = params.epsv_rel * np.sqrt(self.bbox_diag2) * params.dt
         self.fric_dhat = self.epsv_h**2
         self.avg_node_mass = meta.avg_node_mass
@@ -219,10 +234,17 @@ class IPCStepper:
         else:
             coarse_assemble = coarse_term = None
 
-        def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
+        def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
+                   mdbc=None):
             E = dtSq * EL.elasticity_energy(x, mesh, model)
             dx = x - x_tilde
             E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dx * dx)
+            if mdbc is not None:
+                # moving-DBC augmented Lagrangian (reference augmentMDBCEnergy,
+                # AnimScripter.cpp:2302-2309): -sqrt(m) lam.(x-t) + rho/2 m|x-t|^2
+                dxt = x[mdbc["verts"]] - mdbc["target"]
+                E = E - jnp.sum(mdbc["sqrtm"][:, None] * mdbc["lam"] * dxt)
+                E = E + 0.5 * mdbc["rho"] * jnp.sum(mdbc["m"][:, None] * dxt * dxt)
             if fext is not None:
                 # NBC work: -h^2 sum m_v f_v . x_v on free vertices
                 E = E - dtSq * jnp.sum(
@@ -245,9 +267,16 @@ class IPCStepper:
                 E = E + 0.5 * jnp.sum(v4 * Av)
             return E
 
-        def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
+        def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
+                 mdbc=None):
             g = dtSq * EL.elasticity_gradient(x, mesh, model)
             g = g + mesh.mass[:, None] * (x - x_tilde)
+            if mdbc is not None:
+                dxt = x[mdbc["verts"]] - mdbc["target"]
+                g = g.at[mdbc["verts"]].add(
+                    -mdbc["sqrtm"][:, None] * mdbc["lam"]
+                    + mdbc["rho"] * mdbc["m"][:, None] * dxt
+                )
             if fext is not None:
                 g = g - dtSq * mesh.mass[:, None] * fext
             x_sv = x[sv]
@@ -265,8 +294,9 @@ class IPCStepper:
                 g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
             return jnp.where(mesh.dbc_mask[:, None], 0.0, g)
 
-        def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None):
-            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext, damp)
+        def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
+                       mdbc=None):
+            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc)
             Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
             x_sv = x[sv]
             Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
@@ -292,6 +322,10 @@ class IPCStepper:
             def operator(v):
                 v = jnp.where(dbc[:, None], 0.0, v)
                 out = mesh.mass[:, None] * v
+                if mdbc is not None:
+                    out = out.at[mdbc["verts"]].add(
+                        (mdbc["rho"] * mdbc["m"])[:, None] * v[mdbc["verts"]]
+                    )
                 out = scatter12(out, tets, Hel, v)
                 out = out.at[sv].add(
                     jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI)
@@ -310,6 +344,11 @@ class IPCStepper:
                 return diag
 
             diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
+            if mdbc is not None:
+                diag = diag.at[mdbc["verts"]].add(
+                    (mdbc["rho"] * mdbc["m"])[:, None, None]
+                    * jnp.eye(3, dtype=x.dtype)[None]
+                )
             diag = diag12(diag, tets, Hel)
             diag = diag.at[sv].add(Hsv)
             if H_act is not None:
@@ -326,6 +365,12 @@ class IPCStepper:
                     contribs.append((vids_act, H_act))
                 for ids, Hf in fric_blocks:
                     contribs.append((ids, Hf))
+                if mdbc is not None:
+                    contribs.append((
+                        mdbc["verts"][:, None],
+                        (mdbc["rho"] * mdbc["m"])[:, None, None]
+                        * jnp.eye(3, dtype=x.dtype)[None],
+                    ))
                 Ainv_c = coarse_assemble(mesh.mass, contribs)
 
                 def precond(r):
@@ -568,12 +613,20 @@ class IPCStepper:
 
         # scripted DBC motion (reference stepAnimScript, AnimScripter.cpp:
         # 1398-2276): move Dirichlet vertices along their scripted rigid
-        # motion before the implicit solve, backtracking on intersection
+        # motion before the implicit solve — clamped by the inversion
+        # filter, mesh CCD, and intersection backtracking exactly like the
+        # reference (:2158-2250). An incomplete move (completed < 1-1e-3)
+        # triggers the moving-DBC augmented Lagrangian below.
+        completed = 1.0
+        mdbc_targets = None
         if self.script is not None and self.script.has_motion():
-            disp = self.script.step_displacement(np.asarray(x), float(state.t), self.dt)
-            if np.any(disp):
-                disp = jnp.asarray(disp, self.dtype)
-                scale = 1.0
+            disp_np = self.script.step_displacement(np.asarray(x), float(state.t), self.dt)
+            if np.any(disp_np):
+                disp = jnp.asarray(disp_np, self.dtype)
+                scale = min(1.0, float(self._feasible_step_local(x, disp)))
+                if self.sc is not None:
+                    cand_s = self._candidates(x, disp=scale * disp)
+                    scale = float(self._ccd_alpha(x, scale * disp, cand_s)) * scale
                 while True:
                     x_try = x + scale * disp
                     if self.sc is None:
@@ -585,7 +638,21 @@ class IPCStepper:
                         break
                     scale *= 0.5
                     if scale < 1e-6:
-                        raise RuntimeError("scripted motion cannot avoid intersection")
+                        if not p.mdbc_al:
+                            raise RuntimeError(
+                                "scripted motion cannot avoid intersection"
+                            )
+                        scale = 0.0
+                        break
+                completed = scale
+                if completed < 1.0 - 1e-3:
+                    # targets = full scripted destination of every DBC vertex
+                    # (reference targetPos, AnimScripter.cpp:2151-2158)
+                    dbc_np = np.asarray(self.mesh.dbc_mask)
+                    verts = np.where(dbc_np)[0].astype(np.int32)
+                    target = np.asarray(state.x)[verts] + disp_np[verts]
+                    denom = float(np.linalg.norm(disp_np))
+                    mdbc_targets = (verts, jnp.asarray(target, self.dtype), denom)
             state = SimState(x=x, x_prev=state.x_prev, v=state.v, a=state.a,
                              t=state.t, step=state.step)
 
@@ -593,7 +660,17 @@ class IPCStepper:
         x = state.x
 
         if p.warm_start > 0:
-            dx0 = x_tilde - x
+            g_dtSq = jnp.asarray(self.gravity, self.dtype)[None, :] * self.dtSq
+            if self.is_nm:
+                g_dtSq = 0.5 * g_dtSq
+            if p.warm_start == 1:
+                dx0 = self.dt * state.v
+            else:
+                dx0 = self.dt * state.v + g_dtSq
+            if p.warm_start >= 3 and state.dx_el is not None:
+                c = {3: (1.0, 2.0), 4: (0.5, 1.0)}.get(p.warm_start, (0.0, 0.0))
+                dx0 = dx0 + (c[1] if self.is_nm else c[0]) * state.dx_el
+            dx0 = jnp.where(self.mesh.dbc_mask[:, None], 0.0, dx0)
             alpha = float(self._feasible_step_local(x, dx0))
             if self.sc is not None:
                 cand_ws = self._candidates(x, disp=alpha * dx0)
@@ -630,6 +707,10 @@ class IPCStepper:
         # outer homotopy/friction loop (reference fullyImplicit_IP
         # :1613-1787): with the default config dHat == dHatTarget so the
         # dHat branch is a no-op and fricIterAmt bounds the friction loop
+        if mdbc_targets is not None and p.mdbc_al:
+            x = self._solve_mdbc_al(
+                x, state, mdbc_targets, kappa, dHat, fric, stats, verbose, fext, damp
+            )
         fric_iter = 0
         while True:
             x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose, fext, damp)
@@ -673,22 +754,31 @@ class IPCStepper:
         else:
             v_new = (x - state.x_prev) / self.dt
             a_new = (v_new - state.v) / self.dt
+        dx_el = (x - x_tilde) if self.p.warm_start >= 3 else None
         return (
             SimState(
-                x=x, x_prev=x, v=v_new, a=a_new, t=state.t + self.dt, step=state.step + 1
+                x=x, x_prev=x, v=v_new, a=a_new, t=state.t + self.dt,
+                step=state.step + 1, dx_el=dx_el,
             ),
             stats,
         )
 
-    def _solve_sub_ip(self, x, x_tilde, kappa, dHat, fric, stats, verbose, fext=None, damp=None):
-        """Newton loop (reference solveSub_IP, Optimizer.cpp:1821-2213)."""
+    def _solve_sub_ip(self, x, x_tilde, kappa, dHat, fric, stats, verbose, fext=None,
+                      damp=None, mdbc=None, mdbc_denom=None):
+        """Newton loop (reference solveSub_IP, Optimizer.cpp:1821-2213).
+
+        With `mdbc` set, runs in moving-DBC augmented-Lagrangian mode: the
+        AL terms enter every energy/gradient/Hessian, and the reference's
+        per-iteration rho doubling / lambda update / completion check
+        (Optimizer.cpp:2168-2203) runs after each accepted step."""
         p = self.p
         close_d2 = None
+        last_move = 0.0
         for k in range(p.max_newton):
             cand = self._candidates(x)
             while True:
                 dx, g, pcg_iters, pcg_rel, active_count = self._search_dir(
-                    x, x_tilde, kappa, dHat, cand, fric, fext, damp
+                    x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc
                 )
                 if self.sc is None or not self.sc.ensure_active_cap(
                     int(active_count[0]), int(active_count[1])
@@ -700,7 +790,7 @@ class IPCStepper:
             stats.pcg_iters.append(int(pcg_iters))
             if self.sc is not None:
                 stats.n_constraints.append(int(self._n_active(x, cand, dHat)))
-            if k > 0 and dist_to_opt < self.target_gres:
+            if k > 0 and dist_to_opt < self.target_gres and mdbc is None:
                 break
 
             # feasible step: inversion + half-space closed form + mesh ACCD
@@ -715,11 +805,11 @@ class IPCStepper:
                 raise RuntimeError("feasible step size is 0 (CCD)")
 
             # backtracking line search (Armijo c1=0, reference lineSearch)
-            E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext, damp))
+            E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext, damp, mdbc))
             stalled = False
             while True:
                 x_new = x + alpha * dx
-                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext, damp))
+                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext, damp, mdbc))
                 if E_new <= E0:
                     break
                 if alpha < 1e-12:
@@ -750,6 +840,24 @@ class IPCStepper:
             stats.energies.append(E_new)
             stats.iters = k + 1
 
+            if mdbc is not None:
+                # reference MDBC control (Optimizer.cpp:2176-2203)
+                dxt = np.asarray(x)[mdbc["verts_np"]] - np.asarray(mdbc["target"])
+                moved = 1.0 - float(np.linalg.norm(dxt)) / mdbc_denom
+                if moved > 1.0 - 1e-3 or k >= 100:
+                    # finished (or physically obstructed: the remaining gap
+                    # carries into the next step's scripted displacement)
+                    break
+                rho = float(mdbc["rho"])
+                if moved < last_move and rho < 1e8:
+                    mdbc["rho"] = jnp.asarray(rho * 2.0, self.dtype)
+                elif dist_to_opt < self.cn_mbc:
+                    if moved < 0.99 and rho < 1e8:
+                        mdbc["rho"] = jnp.asarray(rho * 2.0, self.dtype)
+                    else:
+                        mdbc["lam"] = mdbc["lam"] - rho * mdbc["sqrtm"][:, None] * jnp.asarray(dxt, self.dtype)
+                last_move = moved
+
             if stalled:
                 break
 
@@ -761,6 +869,53 @@ class IPCStepper:
                     f"  newton {k}: |dx|={dist_to_opt:.3e} alpha={alpha:.3g} "
                     f"E={E_new:.6e} pcg={pcg_iters}"
                 )
+        return x
+
+    def _swap_dbc_mask(self, mask):
+        """Rebind every kernel to a different Dirichlet mask (the analog of
+        the reference's global projectDBC flag flip, Mesh.hpp:135-144)."""
+        import dataclasses
+
+        self.mesh = dataclasses.replace(self.mesh, dbc_mask=jnp.asarray(mask))
+        self._dbc_sv = self.mesh.dbc_mask[self.mesh.surf_verts]
+        if self.sc is not None:
+            self.sc.mesh = self.mesh
+        self._build_kernels()
+
+    def _solve_mdbc_al(self, x, state, mdbc_targets, kappa, dHat, fric, stats,
+                       verbose, fext, damp):
+        """Moving-DBC augmented-Lagrangian episode: free ALL Dirichlet
+        vertices, pull them to their scripted targets with
+        -sqrt(m) lam.(x-t) + rho/2 m |x-t|^2, run the IP sub-solve with the
+        reference's rho/lambda schedule, then restore projection (reference
+        switches m_projectDBC inside solveSub_IP, Optimizer.cpp:2168-2203;
+        the caller's subsequent projected sub-solve plays the role of the
+        reference's post-flip iterations)."""
+        verts, target, denom = mdbc_targets
+        m = jnp.asarray(np.asarray(self.mesh.mass)[verts], self.dtype)
+        mdbc = dict(
+            verts=jnp.asarray(verts),
+            verts_np=verts,
+            target=target,
+            lam=jnp.zeros((len(verts), 3), self.dtype),
+            m=m,
+            sqrtm=jnp.sqrt(m),
+            rho=jnp.asarray(1.0e6, self.dtype),
+        )
+        orig_mask = np.asarray(self.mesh.dbc_mask)
+        # x_tilde with DBC rows at x_prev (reference computeXTilta keeps
+        # V_prev for DBC vertices regardless of projection mode)
+        x_tilde = jnp.where(
+            jnp.asarray(orig_mask)[:, None], state.x_prev, self.compute_x_tilde(state)
+        )
+        self._swap_dbc_mask(np.zeros_like(orig_mask))
+        try:
+            x = self._solve_sub_ip(
+                x, x_tilde, kappa, dHat, fric, stats, verbose, fext, damp,
+                mdbc=mdbc, mdbc_denom=denom,
+            )
+        finally:
+            self._swap_dbc_mask(orig_mask)
         return x
 
     def _post_line_search(self, x, kappa, dHat, close_d2, cand):
