@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ipc_tpu.contact import broadphase as BP
 from ipc_tpu.contact import selfcollision as SC
 from ipc_tpu.contact import spatial_hash as SH
-from ipc_tpu.contact.ccd import accd_ee, accd_pt
+from ipc_tpu.contact.ccd import accd_ee, accd_pt, ti_ee, ti_pt
 from ipc_tpu.contact.intersection import any_edge_tri_intersection
 from ipc_tpu.ops.distance import eps_x_ee
 
@@ -79,10 +79,14 @@ class SelfContact:
     DENSE_LIMIT = 512
 
     def __init__(self, mesh, meta, friction=0.0, cap_pt=None, cap_ee=None, cap_et=None,
-                 vert_mu=None, broadphase=None, grid_K=16):
+                 vert_mu=None, broadphase=None, grid_K=8, ccd_method="accd"):
         self.mesh = mesh
         self.meta = meta
         self.friction = friction
+        # "accd" (additive, default — reference's CTCD role) or "ti"
+        # (Tight-Inclusion-style interval bisection, the provably-
+        # conservative option; reference CCDMethod config keyword)
+        self.ccd_method = ccd_method
         # (V,) per-vertex CO friction coefficients (0 on deformable verts);
         # pairs touching a CO vertex use the CO's mu instead of selfFric
         self.vert_mu = vert_mu
@@ -105,6 +109,10 @@ class SelfContact:
         # the CAP, not the count.
         self.cap_act_pt = max(128, self.cap_pt // 8)
         self.cap_act_ee = max(128, self.cap_ee // 8)
+        # lagged friction pairs (lam > 0 at capture) are compacted the same
+        # way: the friction Hv scatter runs EVERY PCG iteration, so its row
+        # count — not the candidate cap — sets the inner-loop cost
+        self.cap_fric = self.cap_act_pt + self.cap_act_ee
         self._eps_x_table = None  # filled lazily per ee candidate build
 
     # -- candidate construction -------------------------------------------
@@ -179,6 +187,12 @@ class SelfContact:
             self.cap_act_ee = int(int(active_ee) * 1.5) + 64
             grew = True
         return grew
+
+    def ensure_fric_cap(self, fric_count):
+        if int(fric_count) > self.cap_fric:
+            self.cap_fric = int(int(fric_count) * 1.5) + 64
+            return True
+        return False
 
     def ensure_caps(self, cand: Candidates):
         """Host-side overflow check; returns True if caps grew (re-trace)."""
@@ -263,10 +277,31 @@ class SelfContact:
         return vids, H, (cnt_pt, cnt_ee)
 
     def capture_friction(self, x, cand: Candidates, kappa, dHat):
-        return SC.capture_friction(
+        """Lagged friction state COMPACTED to the active (lam > 0) pairs.
+
+        The full candidate set is 5-20x larger than the contact set; since
+        lam is captured once per outer iterate and lam = 0 pairs contribute
+        exactly nothing to the friction energy/gradient/Hessian, compacting
+        here shrinks the per-PCG-iteration friction scatter and the
+        line-search friction energy by the same factor. `count` reports the
+        true active total for cap growth (ensure_fric_cap)."""
+        fr = SC.capture_friction(
             x, cand.pt_vids, cand.pt_valid, cand.ee_vids, cand.ee_valid,
             cand.ee_eps_x, kappa, dHat,
             vert_mu=self.vert_mu, self_mu=self.friction,
+        )
+        act = fr["lam"] > 0.0
+        cnt = act.sum(dtype=jnp.int32)
+        (sel,) = jnp.nonzero(act, size=self.cap_fric, fill_value=-1)
+        ok = sel >= 0
+        i = jnp.maximum(sel, 0)
+        return dict(
+            vids=jnp.where(ok[:, None], fr["vids"][i], 0),
+            ctype=fr["ctype"][i],
+            lam=jnp.where(ok, fr["lam"][i], 0.0),
+            coords=fr["coords"][i],
+            basis=fr["basis"][i],
+            count=cnt,
         )
 
     def n_active(self, x, cand: Candidates, dHat):
@@ -291,8 +326,41 @@ class SelfContact:
     # -- CCD ----------------------------------------------------------------
 
     def ccd_alpha(self, x, dx, cand: Candidates, gap_frac=0.2, max_iter=64):
-        """Min ACCD step over candidate stencils (candidates must have been
-        built with the sweep covering dx)."""
+        """Min conservative CCD step over candidate stencils (candidates
+        must have been built with the sweep covering dx). Method per
+        self.ccd_method: ACCD (default) or Tight-Inclusion interval
+        bisection with minimum separation gap_frac * d0 (the reference's
+        eta policy, SelfCollisionHandler.cpp:1020-1060)."""
+        if self.ccd_method == "ti":
+            # hybrid conservative bound: BOTH ACCD and the interval method
+            # are provably conservative, so their per-pair MAX is also
+            # conservative and strictly tighter than either. This replaces
+            # the reference TI path's no_zero_toi / ms-retry / 0.8x hack
+            # chain (SelfCollisionHandler.cpp:1447-1471): the t-only
+            # interval test is loose for tilted resting contacts (it has no
+            # (u,v) subdivision), and the ACCD bound floors exactly those
+            # cases.
+            from ipc_tpu.ops.distance import edge_edge_dist2, point_triangle_dist2
+
+            def one_pt(x4, p4):
+                d0 = jnp.sqrt(jnp.maximum(
+                    point_triangle_dist2(x4[0], x4[1], x4[2], x4[3]), 0.0))
+                t_i = ti_pt(x4, p4, 1.0, gap_frac * d0, max_iter)
+                return jnp.maximum(t_i, accd_pt(x4, p4, gap_frac, max_iter))
+
+            def one_ee(x4, p4):
+                d0 = jnp.sqrt(jnp.maximum(
+                    edge_edge_dist2(x4[0], x4[1], x4[2], x4[3]), 0.0))
+                t_i = ti_ee(x4, p4, 1.0, gap_frac * d0, max_iter)
+                return jnp.maximum(t_i, accd_ee(x4, p4, gap_frac, max_iter))
+
+            a_pt = jax.vmap(one_pt)(x[cand.pt_vids], dx[cand.pt_vids])
+            a_ee = jax.vmap(one_ee)(x[cand.ee_vids], dx[cand.ee_vids])
+            a = jnp.minimum(
+                jnp.where(cand.pt_valid, a_pt, jnp.inf).min(),
+                jnp.where(cand.ee_valid, a_ee, jnp.inf).min(),
+            )
+            return jnp.minimum(a, 1.0)
         a_pt = jax.vmap(accd_pt, in_axes=(0, 0, None, None))(
             x[cand.pt_vids], dx[cand.pt_vids], gap_frac, max_iter
         )

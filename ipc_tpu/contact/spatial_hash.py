@@ -15,18 +15,30 @@ re-expressed for XLA):
        BY HASH (so each target appears at most once per bucket);
     3. hash cell coords into H buckets, sort (hash, prim), compute each
        entry's rank within its bucket via searchsorted, scatter into a
-       (H+1, K) bucket table (row H is the invalid sentinel).
+       (H+1, K) bucket table (row H is the invalid sentinel);
+    4. pack each target's payload — cell coords + span bits + bitcast AABB
+       + family data (vertex ids, DBC bit) — into ONE row of an (N, W)
+       int32 array, so the query reads everything it needs about a target
+       with a single contiguous row gather.
   query (canonical-cell, sort-free):
     each query primitive reads its <= 8 corner buckets -> (Q, 8K) target
-    ids. A pair (q, t) is accepted ONLY in its canonical overlap cell
-    c = max(q_cell_min, t_cell_min): c lies in both primitives' cell spans
-    whenever their AABBs overlap, both sides registered it, and it is
-    unique — so every overlapping pair is emitted exactly once with no
-    per-row dedup sort (hash collisions only add false bucket reads, which
-    the canonical-cell + exact-AABB tests reject).
+    ids -> ONE payload gather. A pair (q, t) is accepted ONLY in its
+    canonical overlap cell c = max(q_cell_min, t_cell_min): c lies in both
+    primitives' cell spans whenever their AABBs overlap, both sides
+    registered it, and it is unique — so every overlapping pair is emitted
+    exactly once with no per-row dedup sort (hash collisions only add
+    false bucket reads, which the canonical-cell + exact-AABB tests
+    reject). All q-side data is indexed per ROW (Q,1), never per slot —
+    the TPU cost of this query is ~one wide row-gather per slot, nothing
+    else.
 
 Everything is fixed-shape: H, K, and the output cap are static; true counts
 are returned for overflow-driven re-tracing, exactly like broadphase.py.
+
+Packing limits: cell coords are packed 16 bits for x/y and 29 bits for z
+(cell size >= the largest primitive extent, so a scene would need >65536
+primitive-sized cells along one axis to overflow — far beyond any IPC
+scene; the dense path serves tiny-primitive micro-scenes anyway).
 """
 
 import jax
@@ -64,14 +76,13 @@ def _corner_cells(boxes, origin, cell):
 
 
 class HashGrid:
-    """Static-shape bucket table (pytree-friendly plain arrays)."""
+    """Static-shape bucket table + packed per-target payload."""
 
-    def __init__(self, table, origin, cell, t_i0, t_i1, H, K, overflow):
+    def __init__(self, table, payload, origin, cell, H, K, overflow):
         self.table = table  # (H+1, K) int32 prim ids, -1 empty
+        self.payload = payload  # (N+1, 8+E) packed rows; row N = sentinel
         self.origin = origin
         self.cell = cell
-        self.t_i0 = t_i0  # (N,3) target min-corner cells
-        self.t_i1 = t_i1  # (N,3) target max-corner cells
         self.H = H
         self.K = K
         self.overflow = overflow  # int32: max bucket occupancy seen
@@ -90,8 +101,33 @@ def grid_geometry(*box_groups, min_cell=1e-30):
     return origin, cell
 
 
-def build_grid(boxes, H, K, min_cell=1e-30, geom=None):
-    """Insert target AABBs (N,2,3) into an (H+1,K) bucket table."""
+def _pack_payload(boxes, i0, i1, extra):
+    """(N, 8+E) int32 rows: [cw0, cw1, lo.xyz, hi.xyz (bitcast f32), extra].
+
+    cw0 = i0x<<16 | i0y; cw1 = i0z<<3 | span bits. Coordinates are
+    non-negative whenever the grid origin lower-bounds the target boxes
+    (build_grid's geometry guarantees it)."""
+    span = i1 - i0
+    cw0 = (i0[:, 0] << 16) | i0[:, 1]
+    cw1 = (i0[:, 2] << 3) | (span[:, 0] << 2) | (span[:, 1] << 1) | span[:, 2]
+    fbits = jax.lax.bitcast_convert_type(
+        boxes.astype(jnp.float32).reshape(-1, 6), jnp.int32
+    )
+    cols = [cw0[:, None], cw1[:, None], fbits]
+    if extra is not None:
+        cols.append(extra.astype(jnp.int32))
+    rows = jnp.concatenate(cols, axis=1)
+    # sentinel row for empty slots (id -1): cells that can never be canonical
+    sent = jnp.full((1, rows.shape[1]), -1, jnp.int32)
+    return jnp.concatenate([rows, sent], axis=0)
+
+
+def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None):
+    """Insert target AABBs (N,2,3) into an (H+1,K) bucket table.
+
+    extra: optional (N,E) int32 family columns (vertex ids, DBC bits)
+    appended to the packed payload so queries need no further t-side
+    gathers."""
     N = boxes.shape[0]
     if geom is None:
         geom = grid_geometry(boxes, min_cell=min_cell)
@@ -110,8 +146,13 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None):
     order = jnp.argsort(flat_h)
     sh = flat_h[order]
     sp = flat_p[order]
-    firstpos = jnp.searchsorted(sh, sh, side="left")
-    rank = jnp.arange(sh.shape[0], dtype=jnp.int32) - firstpos.astype(jnp.int32)
+    # rank within bucket = position - first position of this hash value;
+    # first positions via a cummax over run starts (a searchsorted here
+    # lowers to a vmapped binary-search while-loop — far slower on TPU)
+    idx = jnp.arange(sh.shape[0], dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sh[1:] != sh[:-1]])
+    firstpos = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - firstpos
     overflow = jnp.where(sh < H, rank + 1, 0).max()
     valid = (sh < H) & (rank < K)
     row = jnp.where(valid, sh, H)
@@ -120,15 +161,17 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None):
     table = table.at[row, col].set(jnp.where(valid, sp, -1))
     # the sentinel row may have been written by masked lanes; clear it
     table = table.at[H].set(-1)
-    return HashGrid(table, origin, cell, i0, i1, H, K, overflow)
+    payload = _pack_payload(boxes, i0, i1, extra)
+    return HashGrid(table, payload, origin, cell, H, K, overflow)
 
 
-def query_pairs(grid: HashGrid, q_boxes, t_boxes, valid_fn, cap):
+def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap):
     """Candidate (q, t) pairs whose exact AABBs overlap, each exactly once.
 
-    valid_fn(q_ids (Q,8K), t_ids (Q,8K)) -> bool mask of admissible pairs
-    (topology/DBC exclusions). Returns (pairs (cap,2) int32 padded -1,
-    true count, bucket overflow flag)."""
+    valid_fn(q_rows (Q,), t_ids (Q,8K), extra (Q,8K,E)) -> bool mask of
+    admissible pairs (topology/DBC exclusions); q_rows must be indexed
+    per-row ((Q,1)-broadcast), never per-slot. Returns (pairs (cap,2)
+    int32 padded -1, true count, bucket overflow flag)."""
     Q = q_boxes.shape[0]
     K = grid.K
     corner, q_i0, q_i1 = _corner_cells(q_boxes, grid.origin, grid.cell)
@@ -140,28 +183,52 @@ def query_pairs(grid: HashGrid, q_boxes, t_boxes, valid_fn, cap):
     cells = jnp.where(keep, h, grid.H)
     cand = grid.table[cells].reshape(Q, 8 * K)  # (Q,8K) target ids, -1 empty
     t_idx = jnp.maximum(cand, 0)
+    # ONE wide row gather fetches everything about each candidate target
+    # (empty slots read the sentinel row, whose cells never match)
+    pay = grid.payload[jnp.where(cand >= 0, cand, grid.payload.shape[0] - 1)]
+    cw0, cw1 = pay[..., 0], pay[..., 1]
+    t0x, t0y = cw0 >> 16, cw0 & 0xFFFF
+    t0z = cw1 >> 3
+    t1x = t0x + ((cw1 >> 2) & 1)
+    t1y = t0y + ((cw1 >> 1) & 1)
+    t1z = t0z + (cw1 & 1)
     # canonical overlap cell: c = max(q_i0, t_i0); accept a candidate only
     # when it was found by reading exactly cell c, and c lies in both spans
-    t0 = grid.t_i0[t_idx]  # (Q,8K,3)
-    t1 = grid.t_i1[t_idx]
-    canon = jnp.maximum(q_i0[:, None, :], t0)
+    cx = jnp.maximum(q_i0[:, None, 0], t0x)
+    cy = jnp.maximum(q_i0[:, None, 1], t0y)
+    cz = jnp.maximum(q_i0[:, None, 2], t0z)
     corner_rep = jnp.repeat(corner, K, axis=1)  # (Q,8K,3) read-cell coords
-    at_canon = (corner_rep == canon).all(-1)
-    in_spans = (canon <= t1).all(-1) & (canon <= q_i1[:, None, :]).all(-1)
-    # exact AABB overlap
-    qlo = q_boxes[:, 0][:, None, :]
-    qhi = q_boxes[:, 1][:, None, :]
-    tlo = t_boxes[t_idx, 0]
-    thi = t_boxes[t_idx, 1]
-    sep = jnp.any((qlo > thi) | (tlo > qhi), axis=2)
-    q_ids = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[:, None], cand.shape)
-    mask = (cand >= 0) & at_canon & in_spans & ~sep & valid_fn(q_ids, t_idx)
+    at_canon = (
+        (corner_rep[..., 0] == cx)
+        & (corner_rep[..., 1] == cy)
+        & (corner_rep[..., 2] == cz)
+    )
+    in_spans = (
+        (cx <= t1x) & (cy <= t1y) & (cz <= t1z)
+        & (cx <= q_i1[:, None, 0]) & (cy <= q_i1[:, None, 1])
+        & (cz <= q_i1[:, None, 2])
+    )
+    # exact AABB overlap (bitcast roundtrip is value-exact)
+    tbox = jax.lax.bitcast_convert_type(pay[..., 2:8], jnp.float32)
+    qlo = q_boxes[:, 0].astype(jnp.float32)[:, None, :]
+    qhi = q_boxes[:, 1].astype(jnp.float32)[:, None, :]
+    sep = jnp.any((qlo > tbox[..., 3:6]) | (tbox[..., 0:3] > qhi), axis=2)
+    q_rows = jnp.arange(Q, dtype=jnp.int32)
+    mask = (cand >= 0) & at_canon & in_spans & ~sep
+    mask = mask & valid_fn(q_rows, t_idx, pay[..., 8:])
     count = mask.sum(dtype=jnp.int32)
-    qi, ti = jnp.nonzero(mask, size=cap, fill_value=-1)
+    # 1D nonzero: a 2D nonzero scatters one 147K-row coordinate array PER
+    # OUTPUT DIMENSION (measured as the dominant query cost); flattening
+    # emits a single scatter and the row/slot split is two cheap ops
+    S = mask.shape[1]
+    (flat,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
+    ok = flat >= 0
+    fi = jnp.maximum(flat, 0)
+    qi = fi // S
     pairs = jnp.stack(
         [
-            jnp.where(qi >= 0, q_ids[jnp.maximum(qi, 0), jnp.maximum(ti, 0)], -1),
-            jnp.where(qi >= 0, t_idx[jnp.maximum(qi, 0), jnp.maximum(ti, 0)], -1),
+            jnp.where(ok, qi, -1),
+            jnp.where(ok, t_idx.reshape(-1)[fi], -1),
         ],
         axis=1,
     ).astype(jnp.int32)
@@ -173,14 +240,31 @@ def query_pairs(grid: HashGrid, q_boxes, t_boxes, valid_fn, cap):
 # ---------------------------------------------------------------------------
 
 
-def _pt_valid(surf_verts, surf_tris, dbc_mask):
-    v_dbc = dbc_mask[surf_verts]
-    t_dbc = jnp.all(dbc_mask[surf_tris], axis=1)
+def _tri_extra(surf_tris, dbc_mask):
+    """(S,4) payload columns for a triangle grid: 3 vert ids + all-DBC
+    (a zero column when no DBC mask applies)."""
+    if dbc_mask is None:
+        t_dbc = jnp.zeros(surf_tris.shape[0], jnp.int32)
+    else:
+        t_dbc = jnp.all(dbc_mask[surf_tris], axis=1).astype(jnp.int32)
+    return jnp.concatenate([surf_tris.astype(jnp.int32), t_dbc[:, None]], axis=1)
 
-    def valid(q_ids, t_ids):
-        vid = surf_verts[q_ids]
-        in_tri = jnp.any(vid[..., None] == surf_tris[t_ids], axis=-1)
-        all_dbc = v_dbc[q_ids] & t_dbc[t_ids]
+
+def _edge_extra(surf_edges, dbc_mask):
+    """(E,3) payload columns for an edge grid: 2 vert ids + all-DBC."""
+    e_dbc = jnp.all(dbc_mask[surf_edges], axis=1).astype(jnp.int32)
+    return jnp.concatenate([surf_edges.astype(jnp.int32), e_dbc[:, None]], axis=1)
+
+
+def _pt_valid(surf_verts, dbc_mask):
+    v_dbc = dbc_mask[surf_verts]
+
+    def valid(q_rows, t_ids, extra):
+        vid = surf_verts[q_rows][:, None]  # (Q,1)
+        in_tri = (
+            (vid == extra[..., 0]) | (vid == extra[..., 1]) | (vid == extra[..., 2])
+        )
+        all_dbc = v_dbc[q_rows][:, None] & (extra[..., 3] > 0)
         return ~in_tri & ~all_dbc
 
     return valid
@@ -189,31 +273,34 @@ def _pt_valid(surf_verts, surf_tris, dbc_mask):
 def _ee_valid(surf_edges, dbc_mask):
     e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
 
-    def valid(q_ids, t_ids):
-        upper = q_ids < t_ids
-        shared = jnp.any(
-            surf_edges[q_ids][..., :, None] == surf_edges[t_ids][..., None, :],
-            axis=(-2, -1),
+    def valid(q_rows, t_ids, extra):
+        upper = q_rows[:, None] < t_ids
+        ev = surf_edges[q_rows]  # (Q,2)
+        a, b = ev[:, 0][:, None], ev[:, 1][:, None]
+        shared = (
+            (a == extra[..., 0]) | (a == extra[..., 1])
+            | (b == extra[..., 0]) | (b == extra[..., 1])
         )
-        both_dbc = e_dbc[q_ids] & e_dbc[t_ids]
+        both_dbc = e_dbc[q_rows][:, None] & (extra[..., 2] > 0)
         return upper & ~shared & ~both_dbc
 
     return valid
 
 
-def _et_valid(surf_edges, surf_tris, dbc_mask):
+def _et_valid(surf_edges, dbc_mask):
     if dbc_mask is not None:
         e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
-        t_dbc = jnp.all(dbc_mask[surf_tris], axis=1)
 
-    def valid(q_ids, t_ids):
-        shared = jnp.any(
-            surf_edges[q_ids][..., :, None] == surf_tris[t_ids][..., None, :],
-            axis=(-2, -1),
+    def valid(q_rows, t_ids, extra):
+        ev = surf_edges[q_rows]
+        a, b = ev[:, 0][:, None], ev[:, 1][:, None]
+        shared = (
+            (a == extra[..., 0]) | (a == extra[..., 1]) | (a == extra[..., 2])
+            | (b == extra[..., 0]) | (b == extra[..., 1]) | (b == extra[..., 2])
         )
         ok = ~shared
         if dbc_mask is not None:
-            ok = ok & ~(e_dbc[q_ids] & t_dbc[t_ids])
+            ok = ok & ~(e_dbc[q_rows][:, None] & (extra[..., 3] > 0))
         return ok
 
     return valid
@@ -225,16 +312,17 @@ def pt_candidates(x, surf_verts, surf_tris, dbc_mask, cap, disp=None, gap=0.0,
     H = H or _default_H(nS)
     vb = BP.vert_aabbs(x, surf_verts, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
-    grid = build_grid(tb, H, K)
-    return query_pairs(grid, vb, tb, _pt_valid(surf_verts, surf_tris, dbc_mask), cap)
+    geom = grid_geometry(vb, tb)
+    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask))
+    return query_pairs(grid, vb, _pt_valid(surf_verts, dbc_mask), cap)
 
 
 def ee_candidates(x, surf_edges, dbc_mask, cap, disp=None, gap=0.0, H=None, K=32):
     nE = surf_edges.shape[0]
     H = H or _default_H(nE)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
-    grid = build_grid(eb, H, K)
-    return query_pairs(grid, eb, eb, _ee_valid(surf_edges, dbc_mask), cap)
+    grid = build_grid(eb, H, K, extra=_edge_extra(surf_edges, dbc_mask))
+    return query_pairs(grid, eb, _ee_valid(surf_edges, dbc_mask), cap)
 
 
 def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0,
@@ -243,8 +331,9 @@ def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0,
     H = H or _default_H(nS)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
-    grid = build_grid(tb, H, K)
-    return query_pairs(grid, eb, tb, _et_valid(surf_edges, surf_tris, dbc_mask), cap)
+    geom = grid_geometry(eb, tb)
+    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask))
+    return query_pairs(grid, eb, _et_valid(surf_edges, dbc_mask), cap)
 
 
 def fused_candidates(x, surf_verts, surf_edges, surf_tris, dbc_mask,
@@ -267,17 +356,23 @@ def fused_candidates(x, surf_verts, surf_edges, surf_tris, dbc_mask,
     vb = BP.vert_aabbs(x, surf_verts, disp, gap)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
-    tri_grid = build_grid(tb, _default_H(nS), K)
-    edge_grid = build_grid(eb, _default_H(nE), K)
+    # one shared geometry: vert/edge boxes are contained in the tri boxes'
+    # extent (every surface vert/edge belongs to a triangle), but include
+    # them anyway so packed cell coords are provably non-negative
+    tgeom = grid_geometry(vb, eb, tb)
+    tri_grid = build_grid(tb, _default_H(nS), K, geom=tgeom,
+                          extra=_tri_extra(surf_tris, dbc_mask))
+    edge_grid = build_grid(eb, _default_H(nE), K, geom=tgeom,
+                           extra=_edge_extra(surf_edges, dbc_mask))
     pt_pairs, pt_count, ov1 = query_pairs(
-        tri_grid, vb, tb, _pt_valid(surf_verts, surf_tris, dbc_mask), cap_pt
+        tri_grid, vb, _pt_valid(surf_verts, dbc_mask), cap_pt
     )
     ee_pairs, ee_count, ov2 = query_pairs(
-        edge_grid, eb, eb, _ee_valid(surf_edges, dbc_mask), cap_ee
+        edge_grid, eb, _ee_valid(surf_edges, dbc_mask), cap_ee
     )
     if with_et:
         et_pairs, et_count, _ = query_pairs(
-            tri_grid, eb, tb, _et_valid(surf_edges, surf_tris, dbc_mask), cap_et
+            tri_grid, eb, _et_valid(surf_edges, dbc_mask), cap_et
         )
     else:
         et_pairs = jnp.full((cap_et, 2), -1, jnp.int32)

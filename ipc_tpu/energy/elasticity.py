@@ -171,8 +171,10 @@ def _elem_svd(x4, rest_inv, vol):
 
 
 def _spd3(A):
-    """3x3 SPD projection via the branch-free Jacobi eigensolver."""
-    w, Q = eigh3_jacobi(0.5 * (A + A.T))
+    """3x3 SPD projection via the branch-free Jacobi eigensolver (unsorted:
+    clamping is order-invariant, and skipping the sort avoids a slow
+    batched dynamic gather when vmapped over tets)."""
+    w, Q = eigh3_jacobi(0.5 * (A + A.T), sort=False)
     w = jnp.maximum(w, 0.0)
     return jnp.matmul(Q * w[None, :], Q.T, precision=_HI)
 
@@ -199,19 +201,24 @@ def _dPdF(U, s, V, mu, lam, model, project):
             B = make_psd2(B)
         Bs.append(B)
 
-    M = jnp.zeros((9, 9), s.dtype)
-    # A at diagonal slots (0,0),(1,1),(2,2) -> vec indices 0,4,8
-    for a, ia in enumerate((0, 4, 8)):
-        for b, ib in enumerate((0, 4, 8)):
-            M = M.at[ia, ib].set(A[a, b])
-    # B01 at vec indices (1,3), B12 at (5,7), B20 at (2,6) with the
-    # reference's reversed layout for the (2,0) pair
-    M = M.at[1, 1].set(Bs[0][0, 0]).at[1, 3].set(Bs[0][0, 1])
-    M = M.at[3, 1].set(Bs[0][1, 0]).at[3, 3].set(Bs[0][1, 1])
-    M = M.at[5, 5].set(Bs[1][0, 0]).at[5, 7].set(Bs[1][0, 1])
-    M = M.at[7, 5].set(Bs[1][1, 0]).at[7, 7].set(Bs[1][1, 1])
-    M = M.at[2, 2].set(Bs[2][1, 1]).at[2, 6].set(Bs[2][1, 0])
-    M = M.at[6, 2].set(Bs[2][0, 1]).at[6, 6].set(Bs[2][0, 0])
+    # M assembled as one stacked construction (a .at[i,j].set chain vmaps
+    # into 16 dynamic-update-slices over the whole tet batch — measured as
+    # one of the top per-step costs on the v5e): A at diagonal slots
+    # (0,4,8); B01 at vec indices (1,3), B12 at (5,7), B20 at (2,6) with
+    # the reference's reversed layout for the (2,0) pair
+    z = jnp.zeros((), s.dtype)
+    B0, B1, B2 = Bs
+    M = jnp.stack([
+        jnp.stack([A[0, 0], z, z, z, A[0, 1], z, z, z, A[0, 2]]),
+        jnp.stack([z, B0[0, 0], z, B0[0, 1], z, z, z, z, z]),
+        jnp.stack([z, z, B2[1, 1], z, z, z, B2[1, 0], z, z]),
+        jnp.stack([z, B0[1, 0], z, B0[1, 1], z, z, z, z, z]),
+        jnp.stack([A[1, 0], z, z, z, A[1, 1], z, z, z, A[1, 2]]),
+        jnp.stack([z, z, z, z, z, B1[0, 0], z, B1[0, 1], z]),
+        jnp.stack([z, z, B2[0, 1], z, z, z, B2[0, 0], z, z]),
+        jnp.stack([z, z, z, z, z, B1[1, 0], z, B1[1, 1], z]),
+        jnp.stack([A[2, 0], z, z, z, A[2, 1], z, z, z, A[2, 2]]),
+    ])
 
     K = jnp.kron(U, V)  # K[(i*3+j),(k*3+l)] = U[i,k] V[j,l]
     return jnp.matmul(jnp.matmul(K, M, precision=_HI), K.T, precision=_HI)
@@ -262,11 +269,17 @@ def elasticity_energy_per_elem(x, mesh, model="NH"):
     )
 
 
-def elasticity_gradient(x, mesh, model="NH"):
-    """(V,3) gradient of the total elasticity energy (scatter-add)."""
+def elasticity_gradient(x, mesh, model="NH", vert_sum=None):
+    """(V,3) gradient of the total elasticity energy.
+
+    vert_sum: optional precomputed static gather-sum over tets.reshape(-1)
+    (ops.scatter.make_gather_sum) — much faster than the scatter-add
+    fallback on TPU."""
     g = jax.vmap(_elem_grad, in_axes=(0, 0, 0, 0, 0, None))(
         _gather(x, mesh.tets), mesh.rest_inv, mesh.vol, mesh.mu, mesh.lam, model
     )
+    if vert_sum is not None:
+        return vert_sum(g.reshape(-1, 3))
     out = jnp.zeros_like(x)
     return out.at[mesh.tets.reshape(-1)].add(g.reshape(-1, 3))
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ipc_tpu.energy import elasticity as EL
+from ipc_tpu.ops.scatter import make_gather_sum
 from ipc_tpu.scripting import device_closures
 from ipc_tpu.solver.coarse import build_aggregates, make_coarse_assembler
 from ipc_tpu.solver.pcg import apply_block_precond, block_jacobi_inverse, pcg
@@ -56,6 +57,8 @@ class JitStepStats:
     energy: Any
     pcg_iters_total: Any
     script_scale: Any  # completed fraction of the scripted DBC motion
+    bucket_overflow: Any  # max grid-bucket occupancy seen (grow sc.grid_K)
+    fric_count: Any  # true active friction pairs (grow sc.cap_fric)
 
 
 jax.tree_util.register_dataclass(
@@ -73,6 +76,8 @@ jax.tree_util.register_dataclass(
         "energy",
         "pcg_iters_total",
         "script_scale",
+        "bucket_overflow",
+        "fric_count",
     ],
     meta_fields=[],
 )
@@ -88,6 +93,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     mesh = stepper.mesh
     p = stepper.p
     sc = stepper.sc
+    # static tet topology: assemble per-corner rows into vertices with a
+    # precomputed gather-sum (a scatter-add here costs ~20x more on TPU and
+    # runs EVERY PCG iteration)
+    gsum_tet = make_gather_sum(
+        np.asarray(mesh.tets).reshape(-1), int(mesh.x_rest.shape[0])
+    )
     dt = stepper.dt
     dtSq = stepper.dtSq
     w_el = stepper.w_el  # h^2 (BE) or beta h^2 (Newmark)
@@ -107,7 +118,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     if p.coarse_precond:
         agg, n_coarse = build_aggregates(np.asarray(mesh.x_rest))
         coarse_assemble, coarse_term = make_coarse_assembler(
-            agg, n_coarse, dbc, dtype
+            agg, n_coarse, dbc, dtype, tets=np.asarray(mesh.tets)
         )
     else:
         coarse_assemble = coarse_term = None
@@ -166,7 +177,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         return E
 
     def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None):
-        g = w_el * EL.elasticity_gradient(x, mesh, p.model)
+        g = w_el * EL.elasticity_gradient(x, mesh, p.model, vert_sum=gsum_tet)
         g = g + mesh.mass[:, None] * (x - x_tilde)
         if fext is not None:
             g = g - w_el * mesh.mass[:, None] * fext
@@ -182,7 +193,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             dxd = jnp.where(dbc[:, None], 0.0, x - damp["x_ref"])
             v4 = dxd[mesh.tets].reshape(-1, 12)
             Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
-            g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
+            g = g + gsum_tet(Av.reshape(-1, 3))
         return jnp.where(dbc[:, None], 0.0, g)
 
     def search_dir(x, x_tilde, kappa, cand, fric, damp, fext=None, dx0=None):
@@ -209,10 +220,16 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)
             return out.at[vids.reshape(-1)].add(hv.reshape(-1, 3))
 
+        def scatter12_tet(out, H, v):
+            # static topology: gather-sum instead of scatter-add
+            v4 = v[tets].reshape(-1, 12)
+            hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)
+            return out + gsum_tet(hv.reshape(-1, 3))
+
         def operator(v):
             v = jnp.where(dbc[:, None], 0.0, v)
             out = mesh.mass[:, None] * v
-            out = scatter12(out, tets, Hel, v)
+            out = scatter12_tet(out, Hel, v)
             out = out.at[sv].add(jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI))
             if H_act is not None:
                 out = scatter12(out, vids_act, H_act, v)
@@ -221,14 +238,24 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             out = jnp.where(dbc[:, None], 0.0, out)
             return jnp.where(dbc[:, None], v, out)
 
+        # corner-diagonal 3x3 blocks of (N,12,12) via ONE static column
+        # gather (element (c,i,c,j) sits at flat column c*39 + i*12 + j;
+        # per-corner slicing materializes 16 badly-laid-out slices instead)
+        dix = jnp.asarray(
+            [c * 39 + i * 12 + j for c in range(4) for i in range(3) for j in range(3)],
+            jnp.int32,
+        )
+
+        def diag_blocks12(H):
+            return jnp.take(H.reshape(H.shape[0], 144), dix, axis=1).reshape(
+                -1, 4, 3, 3
+            )
+
         def diag12(diag, vids, H):
-            H4 = H.reshape(-1, 4, 3, 4, 3)
-            for c in range(4):
-                diag = diag.at[vids[:, c]].add(H4[:, c, :, c, :])
-            return diag
+            return diag.at[vids.reshape(-1)].add(diag_blocks12(H).reshape(-1, 3, 3))
 
         diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
-        diag = diag12(diag, tets, Hel)
+        diag = diag + gsum_tet(diag_blocks12(Hel).reshape(-1, 3, 3))
         diag = diag.at[sv].add(Hsv)
         if H_act is not None:
             diag = diag12(diag, vids_act, H_act)
@@ -239,12 +266,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         inv_diag = block_jacobi_inverse(diag)
 
         if coarse_assemble is not None:
-            contribs = [(tets, Hel), (sv[:, None], Hsv)]
+            contribs = [(sv[:, None], Hsv)]
             if H_act is not None:
                 contribs.append((vids_act, H_act))
             for ids, Hf in fric_blocks:
                 contribs.append((ids, Hf))
-            Ainv_c = coarse_assemble(mesh.mass, contribs)
+            Ainv_c = coarse_assemble(mesh.mass, contribs, tet_H=Hel)
 
             def precond(r):
                 return apply_block_precond(inv_diag, r) + coarse_term(Ainv_c, r)
@@ -279,9 +306,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
 
     def init_kappa(x, x_tilde, cand):
         """Device initKappa: balance unit-kappa contact gradient."""
-        g_E = w_el * EL.elasticity_gradient(x, mesh, p.model) + mesh.mass[:, None] * (
-            x - x_tilde
-        )
+        g_E = w_el * EL.elasticity_gradient(
+            x, mesh, p.model, vert_sum=gsum_tet
+        ) + mesh.mass[:, None] * (x - x_tilde)
         x_sv = x[sv]
         g_sv = jnp.zeros_like(x_sv)
         for hs in stepper.halfspaces:
@@ -399,6 +426,10 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 active_pt_max=jnp.maximum(c["active_pt_max"], active_count[0]),
                 active_ee_max=jnp.maximum(c["active_ee_max"], active_count[1]),
                 pcg_total=c["pcg_total"] + jnp.where(take, pcg_iters, 0),
+                bucket_ov=jnp.maximum(
+                    c["bucket_ov"],
+                    cand_sweep.bucket_overflow if cand_sweep is not None else 0,
+                ),
             )
 
         init = dict(
@@ -416,6 +447,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             active_pt_max=jnp.asarray(0, jnp.int32),
             active_ee_max=jnp.asarray(0, jnp.int32),
             pcg_total=jnp.asarray(0, jnp.int32),
+            bucket_ov=cand0.bucket_overflow if cand0 is not None else jnp.asarray(0, jnp.int32),
         )
         return jax.lax.while_loop(cond, body, init)
 
@@ -516,6 +548,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             energy=out["energy"],
             pcg_iters_total=out["pcg_total"],
             script_scale=script_scale,
+            bucket_overflow=out["bucket_ov"],
+            fric_count=(
+                fric["sc"]["count"]
+                if fric is not None and fric.get("sc") is not None
+                else jnp.asarray(0, jnp.int32)
+            ),
         )
         return new_state, stats
 

@@ -72,11 +72,14 @@ def _apply_jacobi(A, V, p, q):
     return A, V
 
 
-def eigh3_jacobi(A, sweeps: int = 6):
+def eigh3_jacobi(A, sweeps: int = 6, sort: bool = True):
     """Eigendecomposition of a symmetric 3x3 via fixed-count cyclic Jacobi.
 
-    Returns (eigvals, eigvecs) with eigvals sorted DESCENDING and eigvecs a
-    proper rotation (det +1). Fixed iteration count keeps it jit/vmap-clean.
+    Returns (eigvals, eigvecs) with eigvals sorted DESCENDING (unless
+    sort=False — PSD clamping is order-invariant, and the sort is the
+    expensive part when vmapped: a per-element dynamic gather) and eigvecs
+    a proper rotation (det +1). Fixed iteration count keeps it
+    jit/vmap-clean.
     """
     V = jnp.eye(3, dtype=A.dtype)
     for _ in range(sweeps):
@@ -84,9 +87,23 @@ def eigh3_jacobi(A, sweeps: int = 6):
         A, V = _apply_jacobi(A, V, 0, 2)
         A, V = _apply_jacobi(A, V, 1, 2)
     w = jnp.diagonal(A)
-    order = jnp.argsort(-w)
-    w = w[order]
-    V = V[:, order]
+    if not sort:
+        return w, V
+
+    # descending 3-sort as a branch-free compare-swap network on columns
+    # (an argsort + fancy-index vmaps into a slow batched dynamic gather)
+    def cswap(w, V, i, j):
+        do = w[i] < w[j]
+        wi, wj = jnp.where(do, w[j], w[i]), jnp.where(do, w[i], w[j])
+        Vi = jnp.where(do, V[:, j], V[:, i])
+        Vj = jnp.where(do, V[:, i], V[:, j])
+        w = w.at[i].set(wi).at[j].set(wj)
+        V = V.at[:, i].set(Vi).at[:, j].set(Vj)
+        return w, V
+
+    w, V = cswap(w, V, 0, 1)
+    w, V = cswap(w, V, 0, 2)
+    w, V = cswap(w, V, 1, 2)
     # keep V a proper rotation after the column permutation
     V = V.at[:, 2].multiply(jnp.linalg.det(V))
     return w, V

@@ -246,7 +246,14 @@ class Simulation:
 
         sc = None
         if (cfg.self_collision or cfg.mesh_cos) and len(mesh.surf_tris) > 0:
-            sc = SelfContact(mesh, meta, friction=cfg.self_fric, vert_mu=vert_mu)
+            # reference CCDMethod names map onto the two TPU methods:
+            # interval/inclusion-based -> "ti", everything else (the CTCD
+            # float root-finder role) -> "accd"
+            ccd = "ti" if "INCLUSION" in cfg.ccd_method.upper().replace("_", "") or (
+                cfg.ccd_method.upper() in ("TI", "TIGHTINCLUSION")
+            ) else "accd"
+            sc = SelfContact(mesh, meta, friction=cfg.self_fric, vert_mu=vert_mu,
+                             ccd_method=ccd)
 
         p = dict(
             dt=cfg.dt,
@@ -341,6 +348,43 @@ class Simulation:
             logger.close()
         return self._last_state
 
+    def _regrow_and_redo(self, prev_state, state, jstats, step_fn):
+        """Capacity-overflow protocol for the fully-jitted step: candidate
+        tensors and grid buckets have static capacities, so a step whose
+        true counts exceeded them silently dropped contact pairs. Grow the
+        capacities (x1.5 + headroom, pipeline.ensure_caps semantics),
+        re-trace, and REDO the step from the pre-step state (the reference
+        never drops pairs: its sets are dynamically sized,
+        SelfCollisionHandler.cpp:2447-2498)."""
+        sc = self.stepper.sc
+        if sc is None:
+            return state, jstats, step_fn
+        from ipc_tpu.jit_step import make_jit_step
+
+        for _ in range(8):
+            grew = False
+            if int(jstats.pt_count) > sc.cap_pt:
+                sc.cap_pt = int(int(jstats.pt_count) * 1.5) + 64
+                grew = True
+            if int(jstats.ee_count) > sc.cap_ee:
+                sc.cap_ee = int(int(jstats.ee_count) * 1.5) + 64
+                grew = True
+            if int(jstats.et_count) > sc.cap_et:
+                sc.cap_et = int(int(jstats.et_count) * 1.5) + 64
+                grew = True
+            if int(jstats.bucket_overflow) > sc.grid_K:
+                sc.grid_K = int(int(jstats.bucket_overflow) * 1.5) + 8
+                grew = True
+            grew |= sc.ensure_active_cap(
+                int(jstats.active_pt_max), int(jstats.active_ee_max)
+            )
+            grew |= sc.ensure_fric_cap(int(jstats.fric_count))
+            if not grew:
+                break
+            step_fn = make_jit_step(self.stepper, donate=False)
+            state, jstats = step_fn(prev_state)
+        return state, jstats, step_fn
+
     def _run_loop(self, state, start, total, step_fn, logger, out_dir, save_every, verbose):
         self._last_state = state
         for k in range(start, total):
@@ -348,6 +392,9 @@ class Simulation:
                 if step_fn is not None:
                     prev_state = state
                     state, jstats = step_fn(state)
+                    state, jstats, step_fn = self._regrow_and_redo(
+                        prev_state, state, jstats, step_fn
+                    )
                     if (
                         self.script is not None
                         and self.script.has_motion()

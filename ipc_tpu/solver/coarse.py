@@ -14,9 +14,16 @@ meshes; one piecewise-constant coarse space removes exactly those modes:
   restriction/prolongation are a segment-sum / gather — no sparse matrices.
 * A_c = P^T A P (exact Galerkin product of the same SPD per-element /
   per-pair blocks the operator multiplies with, with DBC rows masked out)
-  is a small dense (3C,3C) SPD matrix, assembled by scatter-add and
-  explicitly inverted ONCE per Newton iteration; each PCG application is
-  then one segment-sum, one dense matvec, one gather.
+  is a small dense (3C,3C) SPD matrix, assembled once per Newton iteration
+  and explicitly inverted; each PCG application is then one segment-sum,
+  one dense matvec, one gather.
+
+Assembly cost notes (v5e-measured): slicing each (12,12) block 16 ways and
+issuing 16 scatter-adds dominated the whole Newton iteration. Instead the
+16 corner-pair 3x3 blocks come from ONE transpose, the static tet family is
+summed with a precomputed sort + cumsum segment-sum (fp error lands in a
+PRECONDITIONER — harmless), and each dynamic family (contact/friction
+pairs) issues ONE scatter-add over flattened (cell_i*C + cell_j) ids.
 
 Both terms are SPD, so CG theory applies unchanged.
 """
@@ -59,37 +66,77 @@ def build_aggregates(x_rest, size=32, max_coarse=1024):
     return agg, C
 
 
-def make_coarse_assembler(agg, C, dbc_mask, dtype):
+def _corner_pair_blocks(H, k, free_rows):
+    """(N,3k,3k) -> (N*k*k, 3, 3) corner-pair blocks via one transpose,
+    with DBC rows/cols zeroed (free_rows: (N,k))."""
+    N = H.shape[0]
+    Hk = H.reshape(N, k, 3, k, 3).transpose(0, 1, 3, 2, 4)  # (N,k,k,3,3)
+    Hk = Hk * free_rows[:, :, None, None, None] * free_rows[:, None, :, None, None]
+    return Hk.reshape(N * k * k, 3, 3)
+
+
+def make_coarse_assembler(agg, C, dbc_mask, dtype, tets=None):
     """Returns (assemble, precond_term).
 
-    assemble(mass, contributions) -> (3C,3C) inverse of the Galerkin coarse
-    matrix; `contributions` is a list of (vids (N,k), H (N,3k,3k)) block
-    families (tets k=4, contact pairs k=4, surface-vertex blocks k=1).
+    assemble(mass, contributions, tet_H=None) -> (3C,3C) inverse of the
+    Galerkin coarse matrix; `contributions` is a list of (vids (N,k),
+    H (N,3k,3k)) DYNAMIC block families (contact pairs k=4, surface-vertex
+    blocks k=1); `tet_H` is the (T,12,12) per-tet family matching the
+    `tets` passed at construction (static topology -> sort+cumsum path).
     precond_term(Ainv, r) -> P A_c^-1 P^T r  (the coarse correction).
     """
-    agg = jnp.asarray(agg, jnp.int32)
+    agg_np = np.asarray(agg)
+    dbc_np = np.asarray(dbc_mask)
+    agg = jnp.asarray(agg_np, jnp.int32)
     free = (~dbc_mask).astype(dtype)
 
-    def assemble(mass, contributions):
-        A = jnp.zeros((C, C, 3, 3), dtype)
+    if tets is not None:
+        tets_np = np.asarray(tets)
+        ca = agg_np[tets_np]  # (T,4)
+        ids = (ca[:, :, None] * C + ca[:, None, :]).reshape(-1)  # (T*16,)
+        perm = np.argsort(ids, kind="stable")
+        counts = np.bincount(ids, minlength=C * C)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        tet_free = jnp.asarray((~dbc_np[tets_np]).astype(np.float32), dtype)
+        perm_j = jnp.asarray(perm.astype(np.int32))
+        ends_j = jnp.asarray(ends.astype(np.int32))
+        starts_j = jnp.asarray(starts.astype(np.int32))
+
+        def tet_coarse(tet_H):
+            rows = _corner_pair_blocks(tet_H, 4, tet_free).reshape(-1, 9)
+            rows = rows[perm_j]
+            csum = jnp.concatenate(
+                [jnp.zeros((1, 9), dtype), jnp.cumsum(rows, axis=0)], axis=0
+            )
+            return (csum[ends_j] - csum[starts_j]).reshape(C, C, 3, 3)
+    else:
+        tet_coarse = None
+
+    def assemble(mass, contributions, tet_H=None):
+        A = jnp.zeros((C * C, 3, 3), dtype)
         # lumped mass on the diagonal (free vertices only)
         m_c = jnp.zeros((C,), dtype).at[agg].add(mass * free)
-        A = A.at[jnp.arange(C), jnp.arange(C)].add(
+        diag_cells = jnp.arange(C, dtype=jnp.int32) * (C + 1)
+        A = A.at[diag_cells].add(
             m_c[:, None, None] * jnp.eye(3, dtype=dtype)[None]
         )
         for vids, H in contributions:
             k = vids.shape[1]
-            Hk = H.reshape(-1, k, 3, k, 3)
             f = free[vids]  # (N,k) — DBC rows/cols are identity in the
             # fine operator and excluded from the coarse space
-            Hk = Hk * f[:, :, None, None, None] * f[:, None, None, :, None]
-            ca = agg[vids]  # (N,k)
-            for a in range(k):
-                for b in range(k):
-                    A = A.at[ca[:, a], ca[:, b]].add(Hk[:, a, :, b, :])
+            rows = _corner_pair_blocks(H, k, f)
+            ca_d = agg[vids]  # (N,k)
+            cells = (ca_d[:, :, None] * C + ca_d[:, None, :]).reshape(-1)
+            A = A.at[cells].add(rows)
+        A = A.reshape(C, C, 3, 3)
+        if tet_coarse is not None and tet_H is not None:
+            A = A + tet_coarse(tet_H)
         Ad = A.transpose(0, 2, 1, 3).reshape(3 * C, 3 * C)
-        # tiny trace-scaled regularization: keeps empty/all-DBC aggregates
+        # symmetrize (the cumsum path commits fp rounding) + tiny
+        # trace-scaled regularization: keeps empty/all-DBC aggregates
         # invertible without perturbing the correction meaningfully
+        Ad = 0.5 * (Ad + Ad.T)
         tr = jnp.trace(Ad) / (3 * C)
         Ad = Ad + (1e-8 * tr + 1e-30) * jnp.eye(3 * C, dtype=dtype)
         return jnp.linalg.inv(Ad)

@@ -218,10 +218,15 @@ class IPCStepper:
     # ------------------------------------------------------------------
 
     def _build_kernels(self):
+        from ipc_tpu.ops.scatter import make_gather_sum
         from ipc_tpu.solver.coarse import build_aggregates, make_coarse_assembler
 
         mesh = self.mesh
         p = self.p
+        # static tet topology: gather-sum assembly (see ops/scatter.py)
+        gsum_tet = make_gather_sum(
+            np.asarray(mesh.tets).reshape(-1), int(mesh.x_rest.shape[0])
+        )
         dtSq = self.w_el
         model = p.model
         sv = self._sv
@@ -229,7 +234,8 @@ class IPCStepper:
         if p.coarse_precond:
             agg, n_coarse = build_aggregates(np.asarray(mesh.x_rest))
             coarse_assemble, coarse_term = make_coarse_assembler(
-                agg, n_coarse, mesh.dbc_mask, self.dtype
+                agg, n_coarse, mesh.dbc_mask, self.dtype,
+                tets=np.asarray(mesh.tets),
             )
         else:
             coarse_assemble = coarse_term = None
@@ -269,7 +275,7 @@ class IPCStepper:
 
         def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
                  mdbc=None):
-            g = dtSq * EL.elasticity_gradient(x, mesh, model)
+            g = dtSq * EL.elasticity_gradient(x, mesh, model, vert_sum=gsum_tet)
             g = g + mesh.mass[:, None] * (x - x_tilde)
             if mdbc is not None:
                 dxt = x[mdbc["verts"]] - mdbc["target"]
@@ -291,7 +297,7 @@ class IPCStepper:
                 dxd = jnp.where(mesh.dbc_mask[:, None], 0.0, x - damp["x_ref"])
                 v4 = dxd[mesh.tets].reshape(-1, 12)
                 Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
-                g = g.at[mesh.tets.reshape(-1)].add(Av.reshape(-1, 3))
+                g = g + gsum_tet(Av.reshape(-1, 3))
             return jnp.where(mesh.dbc_mask[:, None], 0.0, g)
 
         def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
@@ -319,6 +325,11 @@ class IPCStepper:
                 hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)
                 return out.at[vids.reshape(-1)].add(hv.reshape(-1, 3))
 
+            def scatter12_tet(out, H, v):
+                v4 = v[tets].reshape(-1, 12)
+                hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)
+                return out + gsum_tet(hv.reshape(-1, 3))
+
             def operator(v):
                 v = jnp.where(dbc[:, None], 0.0, v)
                 out = mesh.mass[:, None] * v
@@ -326,7 +337,7 @@ class IPCStepper:
                     out = out.at[mdbc["verts"]].add(
                         (mdbc["rho"] * mdbc["m"])[:, None] * v[mdbc["verts"]]
                     )
-                out = scatter12(out, tets, Hel, v)
+                out = scatter12_tet(out, Hel, v)
                 out = out.at[sv].add(
                     jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI)
                 )
@@ -337,11 +348,21 @@ class IPCStepper:
                 out = jnp.where(dbc[:, None], 0.0, out)
                 return jnp.where(dbc[:, None], v, out)
 
+            dix = jnp.asarray(
+                [c * 39 + i * 12 + j
+                 for c in range(4) for i in range(3) for j in range(3)],
+                jnp.int32,
+            )
+
+            def diag_blocks12(H):
+                return jnp.take(H.reshape(H.shape[0], 144), dix, axis=1).reshape(
+                    -1, 4, 3, 3
+                )
+
             def diag12(diag, vids, H):
-                H4 = H.reshape(-1, 4, 3, 4, 3)
-                for c in range(4):
-                    diag = diag.at[vids[:, c]].add(H4[:, c, :, c, :])
-                return diag
+                return diag.at[vids.reshape(-1)].add(
+                    diag_blocks12(H).reshape(-1, 3, 3)
+                )
 
             diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
             if mdbc is not None:
@@ -349,7 +370,7 @@ class IPCStepper:
                     (mdbc["rho"] * mdbc["m"])[:, None, None]
                     * jnp.eye(3, dtype=x.dtype)[None]
                 )
-            diag = diag12(diag, tets, Hel)
+            diag = diag + gsum_tet(diag_blocks12(Hel).reshape(-1, 3, 3))
             diag = diag.at[sv].add(Hsv)
             if H_act is not None:
                 diag = diag12(diag, vids_act, H_act)
@@ -360,7 +381,7 @@ class IPCStepper:
             inv_diag = block_jacobi_inverse(diag)
 
             if coarse_assemble is not None:
-                contribs = [(tets, Hel), (sv[:, None], Hsv)]
+                contribs = [(sv[:, None], Hsv)]
                 if H_act is not None:
                     contribs.append((vids_act, H_act))
                 for ids, Hf in fric_blocks:
@@ -371,7 +392,7 @@ class IPCStepper:
                         (mdbc["rho"] * mdbc["m"])[:, None, None]
                         * jnp.eye(3, dtype=x.dtype)[None],
                     ))
-                Ainv_c = coarse_assemble(mesh.mass, contribs)
+                Ainv_c = coarse_assemble(mesh.mass, contribs, tet_H=Hel)
 
                 def precond(r):
                     return apply_block_precond(inv_diag, r) + coarse_term(Ainv_c, r)
@@ -414,7 +435,7 @@ class IPCStepper:
         self._feasible_step_local = jax.jit(feasible_step_local)
 
         def grad_no_contact(x, x_tilde, fric):
-            g = dtSq * EL.elasticity_gradient(x, mesh, model)
+            g = dtSq * EL.elasticity_gradient(x, mesh, model, vert_sum=gsum_tet)
             g = g + mesh.mass[:, None] * (x - x_tilde)
             g = g + self._friction_gradient(x, fric)
             return g
@@ -554,7 +575,10 @@ class IPCStepper:
             and (self.sc.friction > 0.0 or self.sc.vert_mu is not None)
             and cand is not None
         ):
-            sc_state = self.sc.capture_friction(x, cand, kappa, dHat)
+            while True:
+                sc_state = self.sc.capture_friction(x, cand, kappa, dHat)
+                if not self.sc.ensure_fric_cap(int(sc_state["count"])):
+                    break
         return dict(
             hs=hs_lams,
             sc=sc_state,
