@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ipc_tpu.ops import distance as D
 
-__all__ = ["accd_pt", "accd_ee", "accd_min_alpha"]
+__all__ = ["accd_pt", "accd_ee", "accd_min_alpha", "ti_pt", "ti_ee"]
 
 
 def _accd(x4, p4, dist2_fn, slackness, max_iter, t_max=1.0):
@@ -78,6 +78,89 @@ def accd_ee(x4, p4, slackness=0.2, max_iter=64):
     """Safe step for an edge-edge stencil (a0, a1, b0, b1)."""
     f = lambda y: D.edge_edge_dist2(y[0], y[1], y[2], y[3])
     return _accd(x4, p4, f, slackness, max_iter)
+
+
+# ---------------------------------------------------------------------------
+# Tight-Inclusion-style interval CCD (the reference's provably-conservative
+# option: CCD-Wrapper TightInclusion, SelfCollisionHandler.cpp:690-869 /
+# :1370-1633, error bound CCDUtils.cpp:22-91). TPU reformulation: the
+# separation function
+#     VF:  q(t,u,v) = p(t) - ((1-u-v) v0(t) + u v1(t) + v v2(t))
+#     EE:  q(t,u,v) = (1-u) a0(t) + u a1(t) - (1-v) b0(t) - v b1(t)
+# with linear vertex motion is affine in (u,v) for fixed t and affine in t
+# for fixed (u,v), so over a cell [ta,tb] x (full (u,v) domain) its EXACT
+# per-coordinate range is spanned by the evaluations at the domain's corner
+# points (6 for VF: t in {ta,tb} x simplex corners; 8 for EE). A root can
+# exist in [ta,tb] only if every coordinate's [min,max] (inflated by the
+# floating-point error bound + minimum separation) straddles zero. The
+# earliest-root search is then a fixed-count bisection on t alone — no
+# (t,u,v) subdivision stack, so it vmaps over the whole candidate tensor.
+# ---------------------------------------------------------------------------
+
+
+def _ti_corner_evals(x4, p4, t, kind):
+    """Separation-function corner evaluations at time t: (K,3)."""
+    y = x4 + t * p4
+    if kind == "pt":
+        # (u,v) simplex corners: (0,0) -> t0, (1,0) -> t1, (0,1) -> t2
+        return jnp.stack([y[0] - y[1], y[0] - y[2], y[0] - y[3]])
+    # EE: (u,v) in [0,1]^2 corners
+    return jnp.stack([y[0] - y[2], y[0] - y[3], y[1] - y[2], y[1] - y[3]])
+
+
+def _ti_root_free(x4, p4, ta, tb, ms, err, kind):
+    """True when [ta,tb] provably contains NO root (per-coordinate box of
+    q, inflated by ms+err, excludes 0)."""
+    qa = _ti_corner_evals(x4, p4, ta, kind)
+    qb = _ti_corner_evals(x4, p4, tb, kind)
+    q = jnp.concatenate([qa, qb])  # (2K,3)
+    lo = q.min(axis=0) - (ms + err)
+    hi = q.max(axis=0) + (ms + err)
+    return jnp.any((lo > 0.0) | (hi < 0.0))
+
+
+def _ti(x4, p4, kind, t_max=1.0, ms=0.0, max_iter=32):
+    """Earliest-root lower bound by bisection; returns a conservative safe
+    step in [0, t_max] (no root in [0, t] up to ms + rounding error)."""
+    dtype = x4.dtype
+    # floating-point inclusion error bound (reference CCDUtils.cpp:22-91
+    # scales machine epsilon by the cubed magnitude bound of the inputs;
+    # q is a degree<=2 polynomial of the inputs here, one multiply-add
+    # chain deep, so eps * m^2-scale suffices — keep their cubic form for
+    # extra conservatism)
+    eps = jnp.asarray(
+        2.220446049250313e-16 if dtype == jnp.float64 else 1.1920929e-7, dtype
+    )
+    m = jnp.maximum(jnp.abs(x4).max(), jnp.abs(x4 + p4).max())
+    m = jnp.maximum(m, 1.0)
+    err = 12.0 * eps * m * m
+
+    t_max = jnp.asarray(t_max, dtype)
+    # quick accept: whole interval root-free
+    free_all = _ti_root_free(x4, p4, jnp.asarray(0.0, dtype), t_max, ms, err, kind)
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        first_free = _ti_root_free(x4, p4, lo, mid, ms, err, kind)
+        lo_new = jnp.where(first_free, mid, lo)
+        hi_new = jnp.where(first_free, hi, mid)
+        return lo_new, hi_new
+
+    lo0 = jnp.asarray(0.0, dtype)
+    lo, hi = jax.lax.fori_loop(0, max_iter, body, (lo0, t_max))
+    return jnp.where(free_all, t_max, lo)
+
+
+def ti_pt(x4, p4, t_max=1.0, ms=0.0, max_iter=32):
+    """Conservative safe step for a point-triangle stencil (p,t0,t1,t2),
+    Tight-Inclusion-style (minimum separation ms)."""
+    return _ti(x4, p4, "pt", t_max, ms, max_iter)
+
+
+def ti_ee(x4, p4, t_max=1.0, ms=0.0, max_iter=32):
+    """Conservative safe step for an edge-edge stencil (a0,a1,b0,b1)."""
+    return _ti(x4, p4, "ee", t_max, ms, max_iter)
 
 
 def accd_min_alpha(x, dx, pt_vids, pt_valid, ee_vids, ee_valid, slackness=0.2, max_iter=64):
