@@ -118,6 +118,8 @@ class Config:
     self_collision: bool = True
     self_fric: float = 0.0
     constraint_solver: str = "IP"
+    constraint_type: str = "volume"  # reference default (Config.hpp:148)
+    qp_solver: str = "OSQP"
     ccd_method: str = "ACCD"
     ccd_tolerance: float = 1e-6
     tol: list = field(default_factory=list)
@@ -376,8 +378,11 @@ def load_config(path):
             cfg.self_fric = float(toks[1])
         elif t == "constraintSolver":
             cfg.constraint_solver = {"interiorPoint": "IP", "IP": "IP"}.get(toks[1], toks[1])
-        elif t == "QPSolver" or t == "constraintType":
-            pass  # QP/SQP comparison path knobs (stored implicitly)
+        elif t == "QPSolver":
+            cfg.qp_solver = toks[1]  # OSQP/Gurobi in the reference; the TPU
+            # build always uses the matrix-free ADMM solver (qp/admm.py)
+        elif t == "constraintType":
+            cfg.constraint_type = toks[1]
         elif t == "appendStr":
             cfg.append_str = toks[1]
         elif t == "restart":

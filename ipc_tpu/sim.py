@@ -294,9 +294,20 @@ class Simulation:
             p.update(overrides)
         self.params = SimParams(**p)
 
-        self.stepper = IPCStepper(
-            mesh, meta, self.params, halfspaces=halfspaces, self_contact=sc, script=script
-        )
+        if cfg.constraint_solver in ("QP", "SQP"):
+            from ipc_tpu.qp.stepper import QPStepper
+
+            self.stepper = QPStepper(
+                mesh, meta, self.params, halfspaces=halfspaces,
+                self_contact=sc, script=script, mode=cfg.constraint_solver,
+                constraint_type=cfg.constraint_type,
+                constraint_offset=cfg.constraint_offset,
+            )
+        else:
+            self.stepper = IPCStepper(
+                mesh, meta, self.params, halfspaces=halfspaces, self_contact=sc,
+                script=script
+            )
 
     def initial_state(self):
         if self.cfg.restart_path:
