@@ -21,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--jit-step", action="store_true",
                     help="use the fully-on-device step (production TPU path)")
     ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--gif", action="store_true",
+                    help="render per-step frames and write anim.gif")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -43,6 +45,7 @@ def main(argv=None):
         save_every=args.save_every,
         use_jit_step=args.jit_step,
         verbose=args.verbose,
+        gif=args.gif,
     )
     print(f"done: {int(state.step)} steps, t = {float(state.t):.4f}")
     return 0

@@ -324,13 +324,24 @@ class Simulation:
             x0 = self.script.x0_transform(np.asarray(self.mesh.x_rest))
         return self.stepper.initial_state(x0=x0, v0=v0)
 
-    def run(self, out_dir, n_steps=None, save_every=1, use_jit_step=False, verbose=False):
+    def run(self, out_dir, n_steps=None, save_every=1, use_jit_step=False, verbose=False,
+            gif=False):
         """Offline loop (reference progMode=offline, main.cpp:1419-1453):
         step, write status checkpoints + surface meshes + logs."""
         os.makedirs(out_dir, exist_ok=True)
         save_config(self.cfg, os.path.join(out_dir, "config.txt"))
         logger = RunLogger(out_dir)
         state = self.initial_state()
+        self._recorder = None
+        if gif:
+            # headless render-per-step + animated GIF (the reference's
+            # viewer/GIF.hpp role; utils/render.py)
+            from ipc_tpu.utils.render import RunRecorder
+
+            self._recorder = RunRecorder(
+                np.asarray(state.x), np.asarray(self.mesh.surf_tris)
+            )
+            self._recorder.add(np.asarray(state.x))
         total = n_steps if n_steps is not None else int(round(self.cfg.duration / self.cfg.dt))
 
         step_fn = None
@@ -357,6 +368,8 @@ class Simulation:
             logger.write_results_stats(wall)
             logger.write_info()
             logger.close()
+            if self._recorder is not None and self._recorder.frames:
+                self._recorder.save(os.path.join(out_dir, "anim.gif"))
         return self._last_state
 
     def _regrow_and_redo(self, prev_state, state, jstats, step_fn):
@@ -431,6 +444,8 @@ class Simulation:
             logger.log_step(k, stats)
             logger.log_system(self.mesh, self.meta, state, self.stepper.gravity, self.cfg.dt)
             if save_every and (k + 1) % save_every == 0:
+                if self._recorder is not None:
+                    self._recorder.add(np.asarray(state.x))
                 with logger.timers.section("io"):
                     save_status(os.path.join(out_dir, f"status{k + 1}.npz"), state, k + 1)
                     io_mesh.write_obj(

@@ -429,8 +429,43 @@ class IPCStepper:
                 )
             return alpha
 
+        def jacobi_dir(x, x_tilde, kappa, dHat, cand, fric):
+            """Block-Jacobi-preconditioned steepest descent direction
+            (reference initX mode 5, Optimizer.cpp:1082-1110, which divides
+            by the scalar Hessian diagonal; the 3x3 block version is the
+            same idea with the block structure we already assemble)."""
+            g = grad(x, x_tilde, kappa, dHat, cand, fric)
+            Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
+            x_sv = x[sv]
+            Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
+            for hs in self.halfspaces:
+                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+            dix = jnp.asarray(
+                [c * 39 + i * 12 + j
+                 for c in range(4) for i in range(3) for j in range(3)],
+                jnp.int32,
+            )
+            d4 = jnp.take(Hel.reshape(Hel.shape[0], 144), dix, axis=1).reshape(
+                -1, 4, 3, 3
+            )
+            diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
+            diag = diag + gsum_tet(d4.reshape(-1, 3, 3))
+            diag = diag.at[sv].add(Hsv)
+            if sc is not None and cand is not None:
+                vids_act, H_act, _ = sc.hessian_blocks_active(
+                    x, cand, kappa, dHat, True
+                )
+                da = jnp.take(
+                    H_act.reshape(H_act.shape[0], 144), dix, axis=1
+                ).reshape(-1, 4, 3, 3)
+                diag = diag.at[vids_act.reshape(-1)].add(da.reshape(-1, 3, 3))
+            eye = jnp.eye(3, dtype=x.dtype)[None]
+            diag = jnp.where(mesh.dbc_mask[:, None, None], eye, diag)
+            return -apply_block_precond(block_jacobi_inverse(diag), g)
+
         self._energy = jax.jit(energy)
         self._grad = jax.jit(grad)
+        self._jacobi_dir = jax.jit(jacobi_dir)
         self._search_dir = jax.jit(search_dir)
         self._feasible_step_local = jax.jit(feasible_step_local)
 
@@ -684,16 +719,25 @@ class IPCStepper:
         x = state.x
 
         if p.warm_start > 0:
-            g_dtSq = jnp.asarray(self.gravity, self.dtype)[None, :] * self.dtSq
-            if self.is_nm:
-                g_dtSq = 0.5 * g_dtSq
-            if p.warm_start == 1:
-                dx0 = self.dt * state.v
+            if p.warm_start == 5:
+                # Jacobi warm start (reference initX case 5): one
+                # diagonally-preconditioned descent step on the full
+                # objective at the suggested kappa
+                cand_j = self._candidates(x)
+                dx0 = self._jacobi_dir(
+                    x, x_tilde, self.suggest_kappa(dHat), dHat, cand_j, None
+                )
             else:
-                dx0 = self.dt * state.v + g_dtSq
-            if p.warm_start >= 3 and state.dx_el is not None:
-                c = {3: (1.0, 2.0), 4: (0.5, 1.0)}.get(p.warm_start, (0.0, 0.0))
-                dx0 = dx0 + (c[1] if self.is_nm else c[0]) * state.dx_el
+                g_dtSq = jnp.asarray(self.gravity, self.dtype)[None, :] * self.dtSq
+                if self.is_nm:
+                    g_dtSq = 0.5 * g_dtSq
+                if p.warm_start == 1:
+                    dx0 = self.dt * state.v
+                else:
+                    dx0 = self.dt * state.v + g_dtSq
+                if p.warm_start >= 3 and state.dx_el is not None:
+                    c = {3: (1.0, 2.0), 4: (0.5, 1.0)}.get(p.warm_start, (0.0, 0.0))
+                    dx0 = dx0 + (c[1] if self.is_nm else c[0]) * state.dx_el
             dx0 = jnp.where(self.mesh.dbc_mask[:, None], 0.0, dx0)
             alpha = float(self._feasible_step_local(x, dx0))
             if self.sc is not None:

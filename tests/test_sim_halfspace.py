@@ -81,3 +81,32 @@ def test_dbc_holds_vertices():
     np.testing.assert_allclose(x[top], x0[top], atol=1e-14)
     # free verts sag under gravity
     assert x[~top][:, 1].min() < x0[~top][:, 1].min() - 1e-4
+
+
+def test_warm_start_modes_agree():
+    """All initX warm-start modes (reference Optimizer.cpp:924-1233,
+    including mode 5 Jacobi) must land on the same solution — warm starts
+    change the Newton starting point, not the optimum."""
+    import numpy as np
+    from ipc_tpu.contact.halfspace import HalfSpace, HalfSpaceParams
+    from ipc_tpu.mesh import build_mesh
+    from ipc_tpu.models.primitives import cube
+    from ipc_tpu.timestepper import IPCStepper, SimParams
+
+    V, T = cube(2)
+    V = V + np.array([0.0, 0.3, 0.0])
+    xs = {}
+    for ws in (0, 1, 3, 5):
+        mesh, meta = build_mesh(V, T)
+        st = IPCStepper(mesh, meta, SimParams(warm_start=ws),
+                        halfspaces=[HalfSpace(HalfSpaceParams())])
+        state = st.initial_state()
+        for _ in range(4):
+            state, _ = st.step(state)
+        xs[ws] = np.asarray(state.x)
+        assert np.isfinite(xs[ws]).all()
+    # warm starts change the Newton starting point, so iterates agree only
+    # up to the inexact-Newton convergence tolerance (targetGRes)
+    for ws in (1, 3, 5):
+        err = np.abs(xs[ws] - xs[0]).max()
+        assert err < 2e-3, (ws, err)
