@@ -182,6 +182,26 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap):
     keep = jnp.argmax(eqc, axis=2) == jnp.arange(8)[None, :]
     cells = jnp.where(keep, h, grid.H)
     cand = grid.table[cells].reshape(Q, 8 * K)  # (Q,8K) target ids, -1 empty
+    # row compaction: most slots are empty (-1), and every downstream cost
+    # (payload gather, canonical/AABB tests, the nonzero scatter) scales
+    # with slot count — sort the valid slots to the front with a lane-wise
+    # bitonic sort (pure VPU work, no scatter) and keep 3K per row. The
+    # read-cell coords ride along as sort values; overflowing rows are
+    # reported through the bucket-overflow channel so grid_K (and with it
+    # 3K) grows and the build re-traces.
+    corner_rep = jnp.repeat(corner, K, axis=1)  # (Q,8K,3) read-cell coords
+    row_cap = min(3 * K, 8 * K)
+    keys = (cand < 0).astype(jnp.int32)
+    _, cand, c0, c1, c2 = jax.lax.sort(
+        (keys, cand, corner_rep[..., 0], corner_rep[..., 1], corner_rep[..., 2]),
+        dimension=1, num_keys=1,
+    )
+    row_counts = jnp.sum(cand >= 0, axis=1)
+    row_overflow = (row_counts.max() + 2) // 3  # K' needed so 3K' >= rows
+    cand = cand[:, :row_cap]
+    corner_rep = jnp.stack(
+        [c0[:, :row_cap], c1[:, :row_cap], c2[:, :row_cap]], axis=-1
+    )
     t_idx = jnp.maximum(cand, 0)
     # ONE wide row gather fetches everything about each candidate target
     # (empty slots read the sentinel row, whose cells never match)
@@ -197,7 +217,6 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap):
     cx = jnp.maximum(q_i0[:, None, 0], t0x)
     cy = jnp.maximum(q_i0[:, None, 1], t0y)
     cz = jnp.maximum(q_i0[:, None, 2], t0z)
-    corner_rep = jnp.repeat(corner, K, axis=1)  # (Q,8K,3) read-cell coords
     at_canon = (
         (corner_rep[..., 0] == cx)
         & (corner_rep[..., 1] == cy)
@@ -232,7 +251,7 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap):
         ],
         axis=1,
     ).astype(jnp.int32)
-    return pairs, count, grid.overflow
+    return pairs, count, jnp.maximum(grid.overflow, row_overflow)
 
 
 # ---------------------------------------------------------------------------

@@ -96,9 +96,21 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     # static tet topology: assemble per-corner rows into vertices with a
     # precomputed gather-sum (a scatter-add here costs ~20x more on TPU and
     # runs EVERY PCG iteration)
-    gsum_tet = make_gather_sum(
-        np.asarray(mesh.tets).reshape(-1), int(mesh.x_rest.shape[0])
-    )
+    n_verts = int(mesh.x_rest.shape[0])
+    gsum_tet = make_gather_sum(np.asarray(mesh.tets).reshape(-1), n_verts)
+    # pallas gather-free Hv kernel (f32 on a real TPU only; ops/pallas_hv)
+    hv_plan = hv_prep_H = hv_rows_fn = gsum_hv = None
+    if stepper.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        from ipc_tpu.ops.pallas_hv import make_hv_rows, plan_hv_blocks
+
+        hv_plan = plan_hv_blocks(np.asarray(mesh.tets), n_verts)
+        if hv_plan.ok:
+            hv_prep_H, hv_rows_fn = make_hv_rows(hv_plan)
+            gsum_hv = make_gather_sum(
+                np.asarray(hv_plan.ids_pad).reshape(-1), n_verts
+            )
+        else:
+            hv_plan = None
     dt = stepper.dt
     dtSq = stepper.dtSq
     w_el = stepper.w_el  # h^2 (BE) or beta h^2 (Newmark)
@@ -220,7 +232,13 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)
             return out.at[vids.reshape(-1)].add(hv.reshape(-1, 3))
 
+        Ht_pallas = hv_prep_H(Hel) if hv_plan is not None else None
+
         def scatter12_tet(out, H, v):
+            if hv_plan is not None:
+                # pallas window kernel: no row gathers, one-hot MXU
+                # selection (exact), block-padded rows drop into a sink
+                return out + gsum_hv(hv_rows_fn(Ht_pallas, v))
             # static topology: gather-sum instead of scatter-add
             v4 = v[tets].reshape(-1, 12)
             hv = jnp.einsum("cij,cj->ci", H, v4, precision=_HI)

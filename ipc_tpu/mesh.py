@@ -151,6 +151,10 @@ def build_mesh(
 
     V = np.asarray(V, dtype=np.float64)
     T = _reorient_positive(V, np.asarray(T, dtype=np.int64))
+    # sort tets by min vertex id: semantics-free (all per-tet quantities
+    # permute together) but gives the vertex-window locality the pallas Hv
+    # kernel's block planner needs (ops/pallas_hv.py)
+    T = T[np.argsort(T.min(axis=1), kind="stable")]
     nV, nT = len(V), len(T)
 
     D = np.stack(

@@ -31,13 +31,17 @@ def make_gather_sum(ids, n_out):
     length-D tree sum — no serialized scatter anywhere."""
     ids = np.asarray(ids)
     N = int(ids.shape[0])
-    counts = np.bincount(ids, minlength=n_out)
+    # ids >= n_out are SINKS: their rows are dropped entirely (used by the
+    # pallas Hv path to park block-padding rows without inflating any real
+    # vertex's multiplicity)
+    counts = np.bincount(ids[ids < n_out], minlength=n_out)
     D = max(1, int(counts.max()))
     table = np.full((n_out, D), N, np.int32)
     slot = np.zeros(n_out, np.int64)
     for i, k in enumerate(ids):
-        table[k, slot[k]] = i
-        slot[k] += 1
+        if k < n_out:
+            table[k, slot[k]] = i
+            slot[k] += 1
     table_j = jnp.asarray(table)
 
     def apply(vals):

@@ -86,6 +86,10 @@ class SimParams:
     # two-level aggregation preconditioner (solver/coarse.py) — the analog
     # of the reference's AMGCL smoothed-aggregation option
     coarse_precond: bool = True
+    # "pcg" (production, matrix-free) or "dense" (exact Cholesky on the
+    # assembled system; the CHOLMOD/EigenLibSolver-role debug path,
+    # solver/direct.py — O(V^2) memory, small scenes only)
+    linsys: str = "pcg"
     # moving-DBC augmented Lagrangian: when scripted motion cannot complete
     # (CCD/intersection-limited), free the DBC verts and pull them to their
     # targets with an AL penalty (reference m_projectDBC/rho_DBC machinery,
@@ -401,13 +405,34 @@ class IPCStepper:
                     return apply_block_precond(inv_diag, r)
 
             rhs = -g
-            dx, iters, rel = pcg(
-                operator,
-                rhs,
-                precond,
-                tol=p.pcg_tol,
-                maxiter=p.pcg_maxiter,
-            )
+            if p.linsys == "dense":
+                from ipc_tpu.solver.direct import assemble_dense, dense_solve
+
+                contribs = [(tets, Hel), (sv[:, None], Hsv)]
+                if H_act is not None:
+                    contribs.append((vids_act, H_act))
+                for ids, Hf in fric_blocks:
+                    contribs.append((ids, Hf))
+                if mdbc is not None:
+                    contribs.append((
+                        mdbc["verts"][:, None],
+                        (mdbc["rho"] * mdbc["m"])[:, None, None]
+                        * jnp.eye(3, dtype=x.dtype)[None],
+                    ))
+                Ad = assemble_dense(
+                    x.shape[0], mesh.mass, contribs, mesh.dbc_mask
+                )
+                dx = dense_solve(Ad, rhs)
+                iters = jnp.asarray(1, jnp.int32)
+                rel = jnp.asarray(0.0, x.dtype)
+            else:
+                dx, iters, rel = pcg(
+                    operator,
+                    rhs,
+                    precond,
+                    tol=p.pcg_tol,
+                    maxiter=p.pcg_maxiter,
+                )
             # fail-safe: on PCG breakdown (NaN/no progress) fall back to the
             # block-Jacobi-preconditioned gradient direction (the reference
             # falls back to diag-preconditioned GD when CHOLMOD reports

@@ -110,3 +110,28 @@ def test_warm_start_modes_agree():
     for ws in (1, 3, 5):
         err = np.abs(xs[ws] - xs[0]).max()
         assert err < 2e-3, (ws, err)
+
+
+def test_dense_direct_solver_matches_pcg():
+    """linsys=dense (the CHOLMOD/EigenLibSolver-role exact solve) must give
+    the same trajectory as the matrix-free PCG within solver tolerance."""
+    import numpy as np
+    from ipc_tpu.contact.halfspace import HalfSpace, HalfSpaceParams
+    from ipc_tpu.mesh import build_mesh
+    from ipc_tpu.models.primitives import cube
+    from ipc_tpu.timestepper import IPCStepper, SimParams
+
+    V, T = cube(2)
+    V = V + np.array([0.0, 0.2, 0.0])
+    xs = {}
+    for linsys in ("pcg", "dense"):
+        mesh, meta = build_mesh(V, T)
+        st = IPCStepper(mesh, meta, SimParams(linsys=linsys),
+                        halfspaces=[HalfSpace(HalfSpaceParams(friction=0.2))])
+        state = st.initial_state()
+        for _ in range(5):
+            state, _ = st.step(state)
+        xs[linsys] = np.asarray(state.x)
+        assert np.isfinite(xs[linsys]).all()
+    err = np.abs(xs["dense"] - xs["pcg"]).max()
+    assert err < 2e-3, err

@@ -33,8 +33,8 @@ def test_pt_parity(gap):
     x = mesh.x_rest
     cap = 400000
     dense, nd = BP.pt_candidates(x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, cap, None, gap)
-    grid, ng, ov = SH.pt_candidates(x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, cap, None, gap, K=64)
-    assert int(ov) <= 64, "bucket overflow in test"
+    grid, ng, ov = SH.pt_candidates(x, mesh.surf_verts, mesh.surf_tris, mesh.dbc_mask, cap, None, gap, K=256)
+    assert int(ov) <= 256, "bucket overflow in test"
     assert _pairset(dense) == _pairset(grid)
     assert int(nd) == int(ng)
 
@@ -45,8 +45,8 @@ def test_ee_parity(gap):
     x = mesh.x_rest
     cap = 600000
     dense, nd = BP.ee_candidates(x, mesh.surf_edges, mesh.dbc_mask, cap, None, gap)
-    grid, ng, ov = SH.ee_candidates(x, mesh.surf_edges, mesh.dbc_mask, cap, None, gap, K=64)
-    assert int(ov) <= 64
+    grid, ng, ov = SH.ee_candidates(x, mesh.surf_edges, mesh.dbc_mask, cap, None, gap, K=256)
+    assert int(ov) <= 256
     assert _pairset(dense) == _pairset(grid)
 
 
@@ -57,8 +57,8 @@ def test_et_parity_with_sweep():
     disp = jnp.asarray(rng.uniform(-0.05, 0.05, x.shape))
     cap = 600000
     dense, nd = BP.et_candidates(x, mesh.surf_edges, mesh.surf_tris, cap, disp, 0.01, mesh.dbc_mask)
-    grid, ng, ov = SH.et_candidates(x, mesh.surf_edges, mesh.surf_tris, cap, disp, 0.01, mesh.dbc_mask, K=64)
-    assert int(ov) <= 64
+    grid, ng, ov = SH.et_candidates(x, mesh.surf_edges, mesh.surf_tris, cap, disp, 0.01, mesh.dbc_mask, K=256)
+    assert int(ov) <= 256
     assert _pairset(dense) == _pairset(grid)
 
 
