@@ -208,7 +208,38 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             g = g + gsum_tet(Av.reshape(-1, 3))
         return jnp.where(dbc[:, None], 0.0, g)
 
-    def search_dir(x, x_tilde, kappa, cand, fric, damp, fext=None, dx0=None):
+    # coarse-assembly cadence: the (C,C)-cell scatters cost ~60 ms per
+    # call at 100K tets — far too much per Newton iteration — but only a
+    # few ms at 6K where fresher preconditioning pays. Lag the assembly to
+    # once per step only for large meshes.
+    lag_coarse = int(mesh.tets.shape[0]) >= 32768
+
+    def assemble_coarse(x, kappa, cand, fric, damp):
+        """Exact Galerkin coarse matrix of every block family (a one-step-
+        stale preconditioner is still SPD and nearly as effective)."""
+        if coarse_assemble is None:
+            return None
+        Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
+        if damp is not None:
+            Hel = Hel + damp["blocks"]
+        x_sv = x[sv]
+        Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
+        for hs in stepper.halfspaces:
+            Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+        contribs = [(sv[:, None], Hsv)]
+        if sc is not None:
+            vids_act, H_act, _ = sc.hessian_blocks_active(
+                x, cand, kappa, dHat, True
+            )
+            contribs.append((vids_act, H_act))
+        for ids, Hf in stepper._friction_hessians(x, fric):
+            contribs.append((ids, Hf))
+        return coarse_assemble(mesh.mass, contribs, tet_H=Hel)
+
+    def search_dir(x, x_tilde, kappa, cand, fric, damp, fext=None, dx0=None,
+                   Ainv_c=None):
+        if not lag_coarse and coarse_assemble is not None:
+            Ainv_c = None  # assembled fresh below
         g = gradient(x, x_tilde, kappa, cand, fric, damp, fext)
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
         if damp is not None:
@@ -283,14 +314,14 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         diag = jnp.where(dbc[:, None, None], eye, diag)
         inv_diag = block_jacobi_inverse(diag)
 
-        if coarse_assemble is not None:
+        if not lag_coarse and coarse_assemble is not None:
             contribs = [(sv[:, None], Hsv)]
             if H_act is not None:
                 contribs.append((vids_act, H_act))
             for ids, Hf in fric_blocks:
                 contribs.append((ids, Hf))
             Ainv_c = coarse_assemble(mesh.mass, contribs, tet_H=Hel)
-
+        if Ainv_c is not None:
             def precond(r):
                 return apply_block_precond(inv_diag, r) + coarse_term(Ainv_c, r)
         else:
@@ -363,7 +394,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             eps2=jnp.asarray(stepper.fric_dhat, dtype),
         )
 
-    def newton_solve(x, x_tilde, kappa, fric, cand0, damp, fext=None):
+    def newton_solve(x, x_tilde, kappa, fric, cand0, damp, fext=None,
+                     Ainv_c=None):
         """Newton loop with candidate carrying: the swept candidate set
         built in iteration k (gap sqrt(dHat), swept along the accepted
         step) provably covers every pair within sqrt(dHat) of iterate
@@ -381,7 +413,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # PCG warm start: successive Newton directions are highly
             # correlated, so seed with the previous one
             dx, g, pcg_iters, active_count = search_dir(
-                x, x_tilde, kappa, cand, fric, damp, fext, c["dx"]
+                x, x_tilde, kappa, cand, fric, damp, fext, c["dx"], Ainv_c
             )
             dist = jnp.abs(dx).max()
             converged = (c["k"] > 0) & (dist < target_gres)
@@ -539,7 +571,10 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 state.x_prev, mesh, p.model, True
             )
             damp = dict(blocks=blocks, x_ref=state.x_prev)
-        out = newton_solve(x0, x_tilde, kappa, fric, cand0, damp, fext)
+        Ainv_c0 = (
+            assemble_coarse(x0, kappa, cand0, fric, damp) if lag_coarse else None
+        )
+        out = newton_solve(x0, x_tilde, kappa, fric, cand0, damp, fext, Ainv_c0)
         x = out["x"]
         if is_nm:
             g = gravity[None, :].astype(dtype)

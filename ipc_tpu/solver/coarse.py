@@ -113,7 +113,7 @@ def make_coarse_assembler(agg, C, dbc_mask, dtype, tets=None):
     else:
         tet_coarse = None
 
-    def assemble(mass, contributions, tet_H=None):
+    def assemble(mass, contributions, tet_H=None, scalar_contribs=()):
         A = jnp.zeros((C * C, 3, 3), dtype)
         # lumped mass on the diagonal (free vertices only)
         m_c = jnp.zeros((C,), dtype).at[agg].add(mass * free)
@@ -129,6 +129,24 @@ def make_coarse_assembler(agg, C, dbc_mask, dtype, tets=None):
             ca_d = agg[vids]  # (N,k)
             cells = (ca_d[:, :, None] * C + ca_d[:, None, :]).reshape(-1)
             A = A.at[cells].add(rows)
+        # scalar-weight families (contact/friction pairs): each 3x3 corner-
+        # pair block enters as (trace/3) * I — a 9x smaller scatter. This is
+        # a preconditioner-quality tradeoff only: it keeps the (huge) barrier
+        # stiffness visible to the coarse grid (dropping it doubles PCG
+        # iterations in contact-rich scenes) at ~1/9 the assembly cost that
+        # dominated the Newton iteration at 100K tets.
+        As = jnp.zeros((C * C,), dtype)
+        for vids, H in scalar_contribs:
+            k = vids.shape[1]
+            f = free[vids]
+            N = H.shape[0]
+            Hk = H.reshape(N, k, 3, k, 3)
+            tr = (Hk[:, :, 0, :, 0] + Hk[:, :, 1, :, 1] + Hk[:, :, 2, :, 2]) / 3.0
+            tr = tr * f[:, :, None] * f[:, None, :]
+            ca_d = agg[vids]
+            cells = (ca_d[:, :, None] * C + ca_d[:, None, :]).reshape(-1)
+            As = As.at[cells].add(tr.reshape(-1))
+        A = A + As[:, None, None] * jnp.eye(3, dtype=dtype)[None]
         A = A.reshape(C, C, 3, 3)
         if tet_coarse is not None and tet_H is not None:
             A = A + tet_coarse(tet_H)

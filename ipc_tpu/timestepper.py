@@ -304,8 +304,39 @@ class IPCStepper:
                 g = g + gsum_tet(Av.reshape(-1, 3))
             return jnp.where(mesh.dbc_mask[:, None], 0.0, g)
 
+        # lag the coarse assembly to once per sub-solve only at scale
+        # (see jit_step.py rationale)
+        lag_coarse = int(mesh.tets.shape[0]) >= 32768
+
+        def assemble_coarse(x, kappa, dHat, cand, fric, damp=None, mdbc=None):
+            """Coarse matrix once per sub-solve (lagged; see jit_step)."""
+            if coarse_assemble is None:
+                return None
+            Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
+            if damp is not None:
+                Hel = Hel + damp["blocks"]
+            x_sv = x[sv]
+            Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
+            for hs in self.halfspaces:
+                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+            contribs = [(sv[:, None], Hsv)]
+            if sc is not None and cand is not None:
+                vids_act, H_act, _ = sc.hessian_blocks_active(
+                    x, cand, kappa, dHat, True
+                )
+                contribs.append((vids_act, H_act))
+            for ids, Hf in self._friction_hessians(x, fric):
+                contribs.append((ids, Hf))
+            if mdbc is not None:
+                contribs.append((
+                    mdbc["verts"][:, None],
+                    (mdbc["rho"] * mdbc["m"])[:, None, None]
+                    * jnp.eye(3, dtype=x.dtype)[None],
+                ))
+            return coarse_assemble(mesh.mass, contribs, tet_H=Hel)
+
         def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
-                       mdbc=None):
+                       mdbc=None, ainv_c=None):
             g = grad(x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc)
             Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
             x_sv = x[sv]
@@ -384,7 +415,7 @@ class IPCStepper:
             diag = jnp.where(dbc[:, None, None], eye, diag)
             inv_diag = block_jacobi_inverse(diag)
 
-            if coarse_assemble is not None:
+            if not lag_coarse and coarse_assemble is not None:
                 contribs = [(sv[:, None], Hsv)]
                 if H_act is not None:
                     contribs.append((vids_act, H_act))
@@ -396,10 +427,10 @@ class IPCStepper:
                         (mdbc["rho"] * mdbc["m"])[:, None, None]
                         * jnp.eye(3, dtype=x.dtype)[None],
                     ))
-                Ainv_c = coarse_assemble(mesh.mass, contribs, tet_H=Hel)
-
+                ainv_c = coarse_assemble(mesh.mass, contribs, tet_H=Hel)
+            if ainv_c is not None:
                 def precond(r):
-                    return apply_block_precond(inv_diag, r) + coarse_term(Ainv_c, r)
+                    return apply_block_precond(inv_diag, r) + coarse_term(ainv_c, r)
             else:
                 def precond(r):
                     return apply_block_precond(inv_diag, r)
@@ -489,6 +520,8 @@ class IPCStepper:
             return -apply_block_precond(block_jacobi_inverse(diag), g)
 
         self._energy = jax.jit(energy)
+        self._lag_coarse = lag_coarse
+        self._assemble_coarse = jax.jit(assemble_coarse)
         self._grad = jax.jit(grad)
         self._jacobi_dir = jax.jit(jacobi_dir)
         self._search_dir = jax.jit(search_dir)
@@ -867,11 +900,19 @@ class IPCStepper:
         p = self.p
         close_d2 = None
         last_move = 0.0
+        ainv_c = None
         for k in range(p.max_newton):
             cand = self._candidates(x)
+            if k == 0 and self._lag_coarse:
+                # lagged coarse preconditioner: assembled once per
+                # sub-solve at the entry iterate (see assemble_coarse)
+                ainv_c = self._assemble_coarse(
+                    x, kappa, dHat, cand, fric, damp, mdbc
+                )
             while True:
                 dx, g, pcg_iters, pcg_rel, active_count = self._search_dir(
-                    x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc
+                    x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc,
+                    ainv_c
                 )
                 if self.sc is None or not self.sc.ensure_active_cap(
                     int(active_count[0]), int(active_count[1])
