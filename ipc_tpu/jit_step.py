@@ -391,7 +391,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             hs=hs_lams,
             sc=sc_state,
             anchor=x_prev,
-            eps2=jnp.asarray(stepper.fric_dhat, dtype),
+            # the jit path runs no fricDHat homotopy (see module docstring);
+            # use the target smoothing directly
+            eps2=jnp.asarray(stepper.fric_dhat_target, dtype),
         )
 
     def newton_solve(x, x_tilde, kappa, fric, cand0, damp, fext=None,

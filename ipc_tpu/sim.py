@@ -222,13 +222,16 @@ class Simulation:
                 verts = np.arange(s0, s1)
                 ang = motion.get("ang")
                 if ang is not None and np.any(ang):
-                    axis_i = int(np.argmax(np.abs(ang)))
-                    axis = np.zeros(3)
-                    axis[axis_i] = 1.0
+                    # full angular-velocity vector: magnitude about the
+                    # normalized axis (reference MCORotCylinders et al. use
+                    # the arbitrary vector, AnimScripter.cpp rotCenter+rotAxis)
+                    ang = np.asarray(ang, float)
+                    w = float(np.linalg.norm(ang))
+                    axis = ang / w
                     script.handles.append(
                         _HandleMotion(
                             verts=verts,
-                            ang_vel=float(ang[axis_i]),
+                            ang_vel=w,
                             axis=axis,
                             center=np.asarray(cfg.mesh_cos[mi].origin, float),
                             lin_vel=motion.get("lin"),
@@ -277,6 +280,10 @@ class Simulation:
                 p["dhat_target_rel"] = cfg.tuning[2]
             if len(cfg.tuning) > 3:
                 p["dtol_rel"] = cfg.tuning[3]
+            if len(cfg.tuning) > 4:
+                p["fric_dhat0_rel"] = cfg.tuning[4]
+            if len(cfg.tuning) > 5:
+                p["fric_dhat_target_rel"] = cfg.tuning[5]
         if cfg.dhat is not None:
             # keyword dHat is in sqrt-units; internal is squared. When
             # useAbsParameters the value is absolute (Optimizer.cpp:274-282).
@@ -324,6 +331,30 @@ class Simulation:
             x0 = self.script.x0_transform(np.asarray(self.mesh.x_rest))
         return self.stepper.initial_state(x0=x0, v0=v0)
 
+    def _check_initial_feasibility(self, state):
+        """Abort on an initially inverted or self-intersected start state
+        (reference Optimizer.cpp:88-94, 258-264) — a bad scene should fail
+        loudly at setup, not opaquely mid-solve."""
+        import jax.numpy as jnp
+
+        x0 = np.asarray(state.x)
+        tets = np.asarray(self.mesh.tets)
+        if len(tets):
+            D = x0[tets[:, 1:]] - x0[tets[:, :1]]
+            if np.any(np.linalg.det(D) <= 0.0):
+                raise RuntimeError(
+                    "initial state has inverted elements — check scene "
+                    "transforms / initial-configuration script"
+                )
+        sc = getattr(self.stepper, "sc", None)
+        if sc is not None:
+            hit, _ = sc.has_intersection(jnp.asarray(state.x))
+            if bool(hit):
+                raise RuntimeError(
+                    "initial state is self-intersected — check scene shape "
+                    "placement (reference aborts here too, Optimizer.cpp:258-264)"
+                )
+
     def run(self, out_dir, n_steps=None, save_every=1, use_jit_step=False, verbose=False,
             gif=False):
         """Offline loop (reference progMode=offline, main.cpp:1419-1453):
@@ -332,7 +363,9 @@ class Simulation:
         save_config(self.cfg, os.path.join(out_dir, "config.txt"))
         logger = RunLogger(out_dir)
         state = self.initial_state()
+        self._check_initial_feasibility(state)
         self._recorder = None
+        self._surf_faces_local = None
         if gif:
             # headless render-per-step + animated GIF (the reference's
             # viewer/GIF.hpp role; utils/render.py)
@@ -434,7 +467,12 @@ class Simulation:
                         class _S:  # adapt JitStepStats to the logger
                             iters = int(jstats.newton_iters)
                             alphas = [float(jstats.last_alpha)]
-                            n_constraints = [int(jstats.pt_count) + int(jstats.ee_count)]
+                            # active (d < dHat) constraint count — what the
+                            # reference logs in iterStats, not the padded
+                            # candidate count
+                            n_constraints = [
+                                int(jstats.active_pt_max) + int(jstats.active_ee_max)
+                            ]
                             grad_inf = [float(jstats.dist_to_opt)]
 
                         stats = _S()
@@ -442,15 +480,27 @@ class Simulation:
                     state, stats = self.stepper.step(state, verbose=verbose)
             self._last_state = state
             logger.log_step(k, stats)
-            logger.log_system(self.mesh, self.meta, state, self.stepper.gravity, self.cfg.dt)
+            logger.log_system(
+                self.mesh, self.meta, state, self.stepper.gravity, self.cfg.dt,
+                model=self.cfg.energy,
+            )
             if save_every and (k + 1) % save_every == 0:
                 if self._recorder is not None:
                     self._recorder.add(np.asarray(state.x))
                 with logger.timers.section("io"):
                     save_status(os.path.join(out_dir, f"status{k + 1}.npz"), state, k + 1)
+                    # triangulated surface in surface-local indices (the
+                    # reference's saveSurfaceMesh writes faces, not a point
+                    # cloud)
+                    sv = np.asarray(self.mesh.surf_verts)
+                    if self._surf_faces_local is None:
+                        inv = np.full(self.meta.n_verts, -1, np.int64)
+                        inv[sv] = np.arange(len(sv))
+                        self._surf_faces_local = inv[np.asarray(self.mesh.surf_tris)]
                     io_mesh.write_obj(
                         os.path.join(out_dir, f"surf{k + 1}.obj"),
-                        np.asarray(state.x)[np.asarray(self.mesh.surf_verts)],
+                        np.asarray(state.x)[sv],
+                        self._surf_faces_local,
                     )
 
 

@@ -104,6 +104,14 @@ class SimParams:
     nm_beta: float = 0.25
     nm_gamma: float = 0.5
     damping_stiff: float = 0.0
+    # friction-smoothing homotopy (reference fricDHat0/fricDHatTarget from
+    # tuning[4]/tuning[5], Optimizer.cpp:291-304; sqrt-units relative to
+    # bboxDiag, multiplied by dt^2*bboxDiag2 to give the eps^2 the friction
+    # kernels consume). Defaults make fricDHat0 == fricDHatTarget ==
+    # epsv_h^2 — i.e. the homotopy is a no-op unless a scene's tuning sets
+    # a larger initial smoothing.
+    fric_dhat0_rel: float = 1e-3
+    fric_dhat_target_rel: float = 1e-3
 
 
 @dataclass(frozen=True)
@@ -171,7 +179,12 @@ class IPCStepper:
         # MDBC pull threshold (reference CN_MBC, Optimizer.cpp:268)
         self.cn_mbc = np.sqrt(1e-4 * self.bbox_diag2 * self.dtSq)
         self.epsv_h = params.epsv_rel * np.sqrt(self.bbox_diag2) * params.dt
-        self.fric_dhat = self.epsv_h**2
+        # fricDHat homotopy state (reference Optimizer.cpp:291-304, 1776-1780)
+        self.fric_dhat0 = (params.fric_dhat0_rel**2) * self.dtSq * self.bbox_diag2
+        self.fric_dhat_target = (
+            (params.fric_dhat_target_rel**2) * self.dtSq * self.bbox_diag2
+        )
+        self.fric_dhat = self.fric_dhat0
         self.avg_node_mass = meta.avg_node_mass
         self.gravity = np.asarray(params.gravity)
 
@@ -838,12 +851,17 @@ class IPCStepper:
                 x, state, mdbc_targets, kappa, dHat, fric, stats, verbose, fext, damp
             )
         fric_iter = 0
+        self.fric_dhat = self.fric_dhat0  # reset per step (Optimizer.cpp:1533)
         while True:
             x = self._solve_sub_ip(x, x_tilde, kappa, dHat, fric, stats, verbose, fext, damp)
             fric_iter += 1
             update_dhat = dHat > self.dHat_target * (1.0 + 1e-12)
+            # fricIterAmt bounds the loop only once fricDHat has reached
+            # its target (reference Optimizer.cpp:1717-1736); until then
+            # the smoothing homotopy keeps the loop alive
+            at_fric_target = self.fric_dhat <= self.fric_dhat_target * (1.0 + 1e-12)
             update_fric = self._solve_fric and not (
-                p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt
+                at_fric_target and p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt
             )
             if not update_dhat and not update_fric:
                 break
@@ -852,6 +870,9 @@ class IPCStepper:
                 if p.adaptive_kappa:
                     cand = self._candidates(x)
                     kappa = self.init_kappa(x, x_tilde, kappa, dHat, cand, fric)
+            if update_fric and not at_fric_target:
+                # fricDHat *= 0.5 toward target (Optimizer.cpp:1776-1780)
+                self.fric_dhat = max(self.fric_dhat * 0.5, self.fric_dhat_target)
             if update_fric or update_dhat:
                 cand = self._candidates(x)
                 fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
