@@ -29,15 +29,16 @@ BASELINE.md and bench.py.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-
-    import os
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

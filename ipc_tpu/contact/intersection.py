@@ -14,9 +14,22 @@ import jax.numpy as jnp
 __all__ = ["segment_triangle_intersects", "any_edge_tri_intersection"]
 
 
-def _orient(a, b, c, d):
-    """Signed volume sign of tetra (a,b,c,d)."""
-    return jnp.dot(jnp.cross(b - a, c - a), d - a)
+def _orient_sign(a, b, c, d):
+    """Error-filtered sign of the signed volume of tetra (a,b,c,d): 0 when
+    |det| is below a relative floating-point noise bound, so exactly
+    coplanar configurations (perturbed by rotation/transform roundoff)
+    classify as degenerate instead of flipping sign randomly. The filter
+    constant bounds the accumulated rounding of the 3x3 triple product
+    relative to its term magnitudes (the same idea as Shewchuk's static
+    filter; the reference gets this robustness from igl exact predicates /
+    CTCD tolerances)."""
+    u, v, w = b - a, c - a, d - a
+    det = jnp.dot(jnp.cross(u, v), w)
+    scale = (
+        jnp.abs(u).max() * jnp.abs(v).max() * jnp.abs(w).max()
+    )
+    rel = 1e-11 if det.dtype == jnp.float64 else 1e-4
+    return jnp.where(jnp.abs(det) <= rel * scale, 0.0, jnp.sign(det))
 
 
 def segment_triangle_intersects(p, q, a, b, c):
@@ -25,13 +38,14 @@ def segment_triangle_intersects(p, q, a, b, c):
     passes through the (closed) triangle. Coplanar/touching configurations
     return False — the barrier + CCD keep states strictly separated, and a
     flat kinematic obstacle is exactly coplanar with its own edges forever
-    (which a closed-sign test would flag every step)."""
-    v_p = _orient(a, b, c, p)
-    v_q = _orient(a, b, c, q)
-    crosses = v_p * v_q < 0.0  # strictly opposite sides
-    s1 = _orient(p, q, a, b)
-    s2 = _orient(p, q, b, c)
-    s3 = _orient(p, q, c, a)
+    (which a closed-sign test would flag every step); a real penetration
+    crosses by a finite depth, far above the degeneracy filter."""
+    s_p = _orient_sign(a, b, c, p)
+    s_q = _orient_sign(a, b, c, q)
+    crosses = s_p * s_q < 0.0  # strictly opposite sides
+    s1 = _orient_sign(p, q, a, b)
+    s2 = _orient_sign(p, q, b, c)
+    s3 = _orient_sign(p, q, c, a)
     inside = ((s1 >= 0) & (s2 >= 0) & (s3 >= 0)) | ((s1 <= 0) & (s2 <= 0) & (s3 <= 0))
     return crosses & inside
 

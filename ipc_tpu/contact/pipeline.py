@@ -164,14 +164,18 @@ class SelfContact:
         ee_eps_x = jax.vmap(eps_x_ee)(
             xr[ee_vids[:, 0]], xr[ee_vids[:, 1]], xr[ee_vids[:, 2]], xr[ee_vids[:, 3]]
         )
+        from ipc_tpu.parallel.spmd import constrain
+
+        # under an active SPMD context the candidate tensors are pinned to
+        # the leading-axis sharding (1/n rows per device); no-op otherwise
         return Candidates(
-            pt_vids=pt_vids,
-            pt_valid=pt_valid,
-            ee_vids=ee_vids,
-            ee_valid=ee_valid,
-            ee_eps_x=ee_eps_x,
-            et_pairs=et_pairs,
-            et_valid=et_pairs[:, 0] >= 0,
+            pt_vids=constrain(pt_vids),
+            pt_valid=constrain(pt_valid),
+            ee_vids=constrain(ee_vids),
+            ee_valid=constrain(ee_valid),
+            ee_eps_x=constrain(ee_eps_x),
+            et_pairs=constrain(et_pairs),
+            et_valid=constrain(et_pairs[:, 0] >= 0),
             pt_count=pt_count,
             ee_count=ee_count,
             et_count=et_count,

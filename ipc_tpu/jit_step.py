@@ -240,7 +240,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                    Ainv_c=None):
         if not lag_coarse and coarse_assemble is not None:
             Ainv_c = None  # assembled fresh below
-        g = gradient(x, x_tilde, kappa, cand, fric, damp, fext)
+        from ipc_tpu.parallel.spmd import constrain
+
+        g = constrain(gradient(x, x_tilde, kappa, cand, fric, damp, fext))
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
         if damp is not None:
             Hel = Hel + damp["blocks"]
@@ -462,9 +464,11 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             x_new = jnp.where(accepted, x + alpha * dx, x)
             E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric, damp, fext)
 
+            from ipc_tpu.parallel.spmd import constrain as _cstr
+
             take = ~converged
             return dict(
-                x=jnp.where(take, x_new, x),
+                x=_cstr(jnp.where(take, x_new, x)),
                 cand=cand_sweep,
                 dx=dx,
                 k=c["k"] + jnp.where(take, 1, 0),

@@ -201,7 +201,14 @@ class Simulation:
             mu_parts = [np.zeros(meta.n_verts)]
             for co in cfg.mesh_cos:
                 Vc, Fc = io_mesh.read_obj(co.path)
-                Vc = (co.rotate @ (Vc * co.scale).T).T + co.origin[None, :]
+                # reference MeshCO ctor (MeshCO.cpp:51-58): center on the
+                # vertex centroid, rotate, normalize the max bbox extent to
+                # `scale`, then translate to origin
+                centroid = Vc.mean(axis=0)
+                cur_scale = float((Vc.max(axis=0) - Vc.min(axis=0)).max())
+                Vc = (co.rotate @ (Vc - centroid[None, :]).T).T * (
+                    co.scale / cur_scale
+                ) + co.origin[None, :]
                 mesh, meta, rng = append_kinematic_surface(mesh, meta, Vc, Fc, dtype=dtype)
                 mu_parts.append(np.full(rng[1] - rng[0], co.friction))
                 self.mesh_co_ranges.append(rng)

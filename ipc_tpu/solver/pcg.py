@@ -16,6 +16,8 @@ tolerance and an iteration cap, so it jits once and stays on device.
 import jax
 import jax.numpy as jnp
 
+from ipc_tpu.parallel.spmd import constrain
+
 __all__ = ["pcg", "block_jacobi_inverse", "apply_block_precond"]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -34,12 +36,17 @@ def pcg(operator, b, precond, x0=None, tol=1e-5, maxiter=1000):
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    # under an active SPMD context these pin the CG vectors to the
+    # leading-axis sharding (each device stores V/n rows; the operator's
+    # gathers/reductions become XLA-inserted collectives); no-ops otherwise
+    b = constrain(b)
+    x0 = constrain(x0)
 
     b_norm2 = _dot(b, b)
     atol2 = tol * tol * jnp.maximum(b_norm2, 1e-300)
 
-    r0 = b - operator(x0)
-    z0 = precond(r0)
+    r0 = constrain(b - operator(x0))
+    z0 = constrain(precond(r0))
     p0 = z0
     rz0 = _dot(r0, z0)
 
@@ -49,15 +56,15 @@ def pcg(operator, b, precond, x0=None, tol=1e-5, maxiter=1000):
 
     def body(carry):
         x, r, p, rz, k = carry
-        Ap = operator(p)
+        Ap = constrain(operator(p))
         pAp = _dot(p, Ap)
         alpha = rz / jnp.where(pAp != 0.0, pAp, 1.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = precond(r)
+        x = constrain(x + alpha * p)
+        r = constrain(r - alpha * Ap)
+        z = constrain(precond(r))
         rz_new = _dot(r, z)
         beta = rz_new / jnp.where(rz != 0.0, rz, 1.0)
-        p = z + beta * p
+        p = constrain(z + beta * p)
         return x, r, p, rz_new, k + 1
 
     x, r, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
