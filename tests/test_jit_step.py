@@ -12,6 +12,8 @@ from ipc_tpu.mesh import build_mesh, merge_meshes
 from ipc_tpu.models.primitives import cube
 from ipc_tpu.timestepper import IPCStepper, SimParams
 
+pytestmark = pytest.mark.slow  # minutes-long e2e solver runs
+
 
 def _scene(params):
     V1, T1 = cube(1)

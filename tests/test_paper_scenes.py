@@ -8,9 +8,12 @@ import pytest
 
 REF = "/root/reference/input"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference input suite not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference input suite not mounted"
+    ),
+    pytest.mark.slow,  # minutes-long e2e solver runs
+]
 
 
 def _run(scene, n_steps):

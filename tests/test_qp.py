@@ -10,6 +10,8 @@ import pytest
 from ipc_tpu.qp.admm import admm_qp
 from ipc_tpu.qp.constraints import constraint_c_grad
 
+pytestmark = pytest.mark.slow  # minutes-long e2e solver runs
+
 
 def test_admm_unconstrained_matches_direct():
     """No active constraints -> plain SPD solve."""

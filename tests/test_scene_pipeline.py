@@ -5,6 +5,7 @@ import math
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ipc_tpu.config import load_config
@@ -17,6 +18,8 @@ from ipc_tpu.scripting import build_script
 from ipc_tpu.timestepper import IPCStepper, SimParams
 from ipc_tpu.sim import Simulation
 from ipc_tpu.utils.observability import load_status, save_status
+
+pytestmark = pytest.mark.slow  # minutes-long e2e solver runs
 
 
 def _write_cube_msh(tmp_path):

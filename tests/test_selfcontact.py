@@ -4,6 +4,7 @@ two-cube / crossed-rod end-to-end scenes (the reference's 2cubesFall
 tutorial + an EE-dominated configuration)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +17,8 @@ from ipc_tpu.contact import selfcollision as SC
 from ipc_tpu.contact.ccd import accd_pt, accd_ee
 from ipc_tpu.contact.intersection import segment_triangle_intersects
 from ipc_tpu.ops import distance as D
+
+pytestmark = pytest.mark.slow  # minutes-long e2e solver runs
 
 
 def _two_cube_scene(gap=0.004):
