@@ -70,6 +70,30 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclass(frozen=True)
+class ActiveSet:
+    """Compacted subset of candidates that can contribute a nonzero barrier
+    term (pytree). The C2-clamped barrier and ALL its derivatives vanish
+    identically at d >= dHat, so energy/gradient/Hessian evaluated on this
+    subset equal the full-candidate evaluation exactly (absent cap
+    overflow, which cnt_* reports for the growth protocol)."""
+
+    vids_p: Any  # (Cap,4) compacted PT stencils; invalid rows -> 0
+    ok_p: Any  # (Cap,) bool
+    vids_e: Any  # (Cae,4) compacted EE stencils
+    ok_e: Any  # (Cae,) bool
+    eps_e: Any  # (Cae,) mollifier thresholds of the compacted EE rows
+    cnt_pt: Any  # true counts (int32) for overflow detection
+    cnt_ee: Any
+
+
+jax.tree_util.register_dataclass(
+    ActiveSet,
+    data_fields=["vids_p", "ok_p", "vids_e", "ok_e", "eps_e", "cnt_pt", "cnt_ee"],
+    meta_fields=[],
+)
+
+
 class SelfContact:
     """Per-scene self-contact handler with capacity management."""
 
@@ -102,13 +126,14 @@ class SelfContact:
         self.cap_ee = int(cap_ee or max(64, 8 * nE))
         self.cap_et = int(cap_et or max(64, 8 * nE))
         # active (d < dHat) pairs are typically ~10-20% of candidates; the
-        # Hessian (with its per-pair 12x12 eigendecomposition) is computed
-        # only on this compacted subset, SPLIT BY TYPE so each pair runs its
-        # own (PT or EE) autodiff Hessian instead of both. Initial caps are
-        # tight (they grow on overflow) because the eigh cost scales with
-        # the CAP, not the count.
-        self.cap_act_pt = max(128, self.cap_pt // 8)
-        self.cap_act_ee = max(128, self.cap_ee // 8)
+        # gradient and the Hessian (with its per-pair 12x12 eigendecompo-
+        # sition) are computed only on this compacted subset, SPLIT BY TYPE
+        # so each pair runs its own (PT or EE) autodiff instead of both.
+        # Initial caps are tight (they grow on overflow) because the
+        # eigh/autodiff cost scales with the CAP, not the count; EE actives
+        # are rarer still (only near-parallel packings hold many).
+        self.cap_act_pt = max(256, self.cap_pt // 16)
+        self.cap_act_ee = max(256, self.cap_ee // 32)
         # lagged friction pairs (lam > 0 at capture) are compacted the same
         # way: the friction Hv scatter runs EVERY PCG iteration, so its row
         # count — not the candidate cap — sets the inner-loop cost
@@ -221,6 +246,95 @@ class SelfContact:
                 grew = True
         return grew
 
+    # -- active-set compaction ---------------------------------------------
+
+    def active_set(self, x, cand: Candidates, dHat, disp=None, cap_scale=1):
+        """Compact candidates to the pairs that can contribute a nonzero
+        barrier term: d^2 < dHat at x, or — when `disp` is given — at ANY
+        point of the segment [x, x+disp] (per-pair conservative travel
+        bound: the reduced distance of a stencil can shrink by at most the
+        sum of the two primitives' largest vertex displacements). The
+        disp form makes one compaction serve every line-search trial.
+
+        cap_scale statically scales the compaction capacity (the line-
+        search superset is bigger than the point active set)."""
+        d_pt, d_ee = SC.active_dist2(x, cand.pt_vids, cand.ee_vids)
+        if disp is None:
+            act_pt = cand.pt_valid & (d_pt < dHat)
+            act_ee = cand.ee_valid & (d_ee < dHat)
+        else:
+            dn = jnp.sqrt(jnp.sum(disp * disp, axis=1))  # (V,)
+            tp = dn[cand.pt_vids]  # (Cpt,4)
+            travel_pt = tp[:, 0] + tp[:, 1:].max(axis=1)
+            te = dn[cand.ee_vids]
+            travel_ee = te[:, :2].max(axis=1) + te[:, 2:].max(axis=1)
+            lim_pt = jnp.sqrt(dHat) + travel_pt
+            lim_ee = jnp.sqrt(dHat) + travel_ee
+            act_pt = cand.pt_valid & (d_pt < lim_pt * lim_pt)
+            act_ee = cand.ee_valid & (d_ee < lim_ee * lim_ee)
+        cap_p = self.cap_act_pt * cap_scale
+        cap_e = self.cap_act_ee * cap_scale
+        cnt_pt = act_pt.sum(dtype=jnp.int32)
+        cnt_ee = act_ee.sum(dtype=jnp.int32)
+        (sp,) = jnp.nonzero(act_pt, size=cap_p, fill_value=-1)
+        ok_p = sp >= 0
+        vids_p = jnp.where(ok_p[:, None], cand.pt_vids[jnp.maximum(sp, 0)], 0)
+        (se,) = jnp.nonzero(act_ee, size=cap_e, fill_value=-1)
+        ok_e = se >= 0
+        ie = jnp.maximum(se, 0)
+        vids_e = jnp.where(ok_e[:, None], cand.ee_vids[ie], 0)
+        return ActiveSet(
+            vids_p=vids_p, ok_p=ok_p, vids_e=vids_e, ok_e=ok_e,
+            eps_e=cand.ee_eps_x[ie], cnt_pt=cnt_pt, cnt_ee=cnt_ee,
+        )
+
+    def energy_active(self, x, act: ActiveSet, kappa, dHat):
+        """Barrier energy on a compacted active set (== full-candidate
+        energy; see ActiveSet). Pad rows evaluate stencil x[0,0,0,0] whose
+        reduced distance is 0 -> masked out before the sum."""
+        e_pt = jax.vmap(SC.pt_pair_energy, in_axes=(0, None))(x[act.vids_p], dHat)
+        e_ee = jax.vmap(SC.ee_pair_energy, in_axes=(0, 0, None))(
+            x[act.vids_e], act.eps_e, dHat
+        )
+        return kappa * (
+            jnp.where(act.ok_p, e_pt, 0.0).sum()
+            + jnp.where(act.ok_e, e_ee, 0.0).sum()
+        )
+
+    def gradient_active(self, x, act: ActiveSet, kappa, dHat):
+        """(V,3) barrier gradient on a compacted active set."""
+        g_pt = jax.vmap(jax.grad(SC.pt_pair_energy), in_axes=(0, None))(
+            x[act.vids_p], dHat
+        )
+        g_ee = jax.vmap(jax.grad(SC.ee_pair_energy), in_axes=(0, 0, None))(
+            x[act.vids_e], act.eps_e, dHat
+        )
+        g_pt = jnp.where(act.ok_p[:, None, None], g_pt, 0.0)
+        g_ee = jnp.where(act.ok_e[:, None, None], g_ee, 0.0)
+        out = jnp.zeros_like(x)
+        out = out.at[act.vids_p.reshape(-1)].add(kappa * g_pt.reshape(-1, 3))
+        out = out.at[act.vids_e.reshape(-1)].add(kappa * g_ee.reshape(-1, 3))
+        return out
+
+    def hessian_blocks_from_active(self, x, act: ActiveSet, kappa, dHat,
+                                   project=True):
+        """SPD 12x12 blocks of a compacted active set.
+
+        Returns (vids (Ca,4), H (Ca,12,12), (cnt_pt, cnt_ee))."""
+        H_p = jax.vmap(SC._pair_hess(SC.pt_pair_energy), in_axes=(0, None))(
+            x[act.vids_p], dHat
+        )
+        H_e = jax.vmap(SC._pair_hess(SC.ee_pair_energy), in_axes=(0, 0, None))(
+            x[act.vids_e], act.eps_e, dHat
+        )
+        H = jnp.concatenate([H_p, H_e])
+        if project:
+            H = jax.vmap(SC.make_psd)(H)
+        ok = jnp.concatenate([act.ok_p, act.ok_e])
+        vids = jnp.concatenate([act.vids_p, act.vids_e])
+        H = jnp.where(ok[:, None, None], kappa * H, 0.0)
+        return vids, H, (act.cnt_pt, act.cnt_ee)
+
     # -- energy/derivatives (thin wrappers over selfcollision) -------------
 
     def energy(self, x, cand: Candidates, kappa, dHat):
@@ -250,35 +364,8 @@ class SelfContact:
         12x12 Hessian + eigendecomposition changes nothing and cuts the
         dominant contact-assembly cost ~5-10x. PT and EE actives compact
         into separate lists so each runs only its own autodiff Hessian."""
-        d_pt, d_ee = SC.active_dist2(x, cand.pt_vids, cand.ee_vids)
-        act_pt = cand.pt_valid & (d_pt < dHat)
-        act_ee = cand.ee_valid & (d_ee < dHat)
-        cnt_pt = act_pt.sum(dtype=jnp.int32)
-        cnt_ee = act_ee.sum(dtype=jnp.int32)
-
-        (sp,) = jnp.nonzero(act_pt, size=self.cap_act_pt, fill_value=-1)
-        ok_p = sp >= 0
-        vids_p = cand.pt_vids[jnp.maximum(sp, 0)]
-        H_p = jax.vmap(SC._pair_hess(SC.pt_pair_energy), in_axes=(0, None))(
-            x[vids_p], dHat
-        )
-
-        (se,) = jnp.nonzero(act_ee, size=self.cap_act_ee, fill_value=-1)
-        ok_e = se >= 0
-        ie = jnp.maximum(se, 0)
-        vids_e = cand.ee_vids[ie]
-        H_e = jax.vmap(SC._pair_hess(SC.ee_pair_energy), in_axes=(0, 0, None))(
-            x[vids_e], cand.ee_eps_x[ie], dHat
-        )
-
-        H = jnp.concatenate([H_p, H_e])
-        if project:
-            H = jax.vmap(SC.make_psd)(H)
-        ok = jnp.concatenate([ok_p, ok_e])
-        vids = jnp.concatenate([vids_p, vids_e])
-        H = jnp.where(ok[:, None, None], kappa * H, 0.0)
-        vids = jnp.where(ok[:, None], vids, 0)
-        return vids, H, (cnt_pt, cnt_ee)
+        act = self.active_set(x, cand, dHat)
+        return self.hessian_blocks_from_active(x, act, kappa, dHat, project)
 
     def capture_friction(self, x, cand: Candidates, kappa, dHat):
         """Lagged friction state COMPACTED to the active (lam > 0) pairs.

@@ -148,8 +148,36 @@ def _fcr_bleft(s, mu, lam):
     )
 
 
+def _cof(F):
+    """Cofactor matrix (J * F^-T) via cross products of columns."""
+    c0 = jnp.cross(F[:, 1], F[:, 2])
+    c1 = jnp.cross(F[:, 2], F[:, 0])
+    c2 = jnp.cross(F[:, 0], F[:, 1])
+    return jnp.stack([c0, c1, c2], axis=1)
+
+
+def _nh_E_F(F, mu, lam):
+    """NH energy straight from the invariants |F|_F^2 = |sigma|^2 and
+    J = det F — no SVD. Exactly _nh_E(sigma) for J > 0, which the NH
+    inversion guard maintains (reference NeoHookeanEnergy.cpp:138-153
+    uses the same F-space closed forms)."""
+    J = jnp.linalg.det(F)
+    logJ = jnp.log(jnp.maximum(J, 1e-30))
+    return 0.5 * mu * (jnp.sum(F * F) - 3.0) - (mu - 0.5 * lam * logJ) * logJ
+
+
+def _nh_P_F(F, mu, lam):
+    """NH PK1 stress P = mu F + (lam logJ - mu) F^-T, F^-T = cof(F)/J."""
+    cof = _cof(F)
+    J = jnp.sum(F[:, 0] * cof[:, 0])
+    logJ = jnp.log(jnp.maximum(J, 1e-30))
+    FinvT = cof / jnp.where(J != 0.0, J, 1.0)
+    return mu * F + (lam * logJ - mu) * FinvT
+
+
 MODELS = {
-    "NH": dict(E=_nh_E, dE=_nh_dE, d2E=_nh_d2E, bleft=_nh_bleft, inv_guard=True),
+    "NH": dict(E=_nh_E, dE=_nh_dE, d2E=_nh_d2E, bleft=_nh_bleft, inv_guard=True,
+               E_F=_nh_E_F, P_F=_nh_P_F),
     "FCR": dict(E=_fcr_E, dE=_fcr_dE, d2E=_fcr_d2E, bleft=_fcr_bleft, inv_guard=False),
 }
 
@@ -234,16 +262,27 @@ def _elem_hess(x4, rest_inv, vol, mu, lam, model, project):
 
 
 def _elem_grad(x4, rest_inv, vol, mu, lam, model):
-    U, s, V = _elem_svd(x4, rest_inv, vol)
-    dE = MODELS[model]["dE"](s, mu, lam)
-    P = jnp.matmul(U * dE[None, :], V.T, precision=_HI)
+    m = MODELS[model]
     W = elem_weights(rest_inv)
+    if "P_F" in m:  # invariant closed form: no SVD (NH)
+        F = deformation_gradient(x4, rest_inv)
+        F = jnp.where(vol > 0, F, jnp.eye(3, dtype=F.dtype))
+        P = m["P_F"](F, mu, lam)
+    else:
+        U, s, V = _elem_svd(x4, rest_inv, vol)
+        dE = m["dE"](s, mu, lam)
+        P = jnp.matmul(U * dE[None, :], V.T, precision=_HI)
     return vol * jnp.matmul(W, P.T, precision=_HI)
 
 
 def _elem_energy(x4, rest_inv, vol, mu, lam, model):
+    m = MODELS[model]
+    if "E_F" in m:  # invariant closed form: no SVD (NH)
+        F = deformation_gradient(x4, rest_inv)
+        F = jnp.where(vol > 0, F, jnp.eye(3, dtype=F.dtype))
+        return vol * m["E_F"](F, mu, lam)
     _, s, _ = _elem_svd(x4, rest_inv, vol)
-    return vol * MODELS[model]["E"](s, mu, lam)
+    return vol * m["E"](s, mu, lam)
 
 
 # ---------------------------------------------------------------------------

@@ -167,7 +167,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             return None
         return sc.build_candidates(x, disp, gap, with_et=with_et)
 
-    def energy(x, x_tilde, kappa, cand, fric, damp, fext=None):
+    def energy(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None):
         E = w_el * EL.elasticity_energy(x, mesh, p.model)
         dxv = x - x_tilde
         E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dxv * dxv)
@@ -179,7 +179,13 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         for hs in stepper.halfspaces:
             E = E + hs.energy(x_sv, kappa, dHat)
         if sc is not None:
-            E = E + sc.energy(x, cand, kappa, dHat)
+            # a compacted (possibly line-search-swept) active set evaluates
+            # the same barrier sum over ~10-50x fewer rows (see ActiveSet)
+            E = E + (
+                sc.energy_active(x, act, kappa, dHat)
+                if act is not None
+                else sc.energy(x, cand, kappa, dHat)
+            )
         E = E + stepper._friction_energy(x, fric)
         if damp is not None:
             dxd = jnp.where(dbc[:, None], 0.0, x - damp["x_ref"])
@@ -188,7 +194,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             E = E + 0.5 * jnp.sum(v4 * Av)
         return E
 
-    def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None):
+    def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None):
         g = w_el * EL.elasticity_gradient(x, mesh, p.model, vert_sum=gsum_tet)
         g = g + mesh.mass[:, None] * (x - x_tilde)
         if fext is not None:
@@ -199,7 +205,11 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             g_sv = g_sv + hs.grad_sv(x_sv, kappa, dHat)
         g = g.at[sv].add(g_sv)
         if sc is not None:
-            g = g + sc.gradient(x, cand, kappa, dHat)
+            g = g + (
+                sc.gradient_active(x, act, kappa, dHat)
+                if act is not None
+                else sc.gradient(x, cand, kappa, dHat)
+            )
         g = g + stepper._friction_gradient(x, fric)
         if damp is not None:
             dxd = jnp.where(dbc[:, None], 0.0, x - damp["x_ref"])
@@ -242,7 +252,10 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             Ainv_c = None  # assembled fresh below
         from ipc_tpu.parallel.spmd import constrain
 
-        g = constrain(gradient(x, x_tilde, kappa, cand, fric, damp, fext))
+        # ONE candidate->active compaction per Newton iteration feeds the
+        # barrier gradient AND the 12x12 block construction
+        act = sc.active_set(x, cand, dHat) if sc is not None else None
+        g = constrain(gradient(x, x_tilde, kappa, cand, fric, damp, fext, act))
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
         if damp is not None:
             Hel = Hel + damp["blocks"]
@@ -252,8 +265,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
         fric_blocks = stepper._friction_hessians(x, fric)
         if sc is not None:
-            vids_act, H_act, active_count = sc.hessian_blocks_active(
-                x, cand, kappa, dHat, True
+            vids_act, H_act, active_count = sc.hessian_blocks_from_active(
+                x, act, kappa, dHat, True
             )
         else:
             vids_act = H_act = None
@@ -366,7 +379,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             g_sv = g_sv + hs.grad_sv(x_sv, 1.0, dHat)
         g_c = jnp.zeros_like(x).at[sv].add(g_sv)
         if sc is not None:
-            g_c = g_c + sc.gradient(x, cand, 1.0, dHat)
+            g_c = g_c + sc.gradient_active(
+                x, sc.active_set(x, cand, dHat), 1.0, dHat
+            )
         free = ~dbc[:, None]
         g_E = jnp.where(free, g_E, 0.0)
         g_c = jnp.where(free, g_c, 0.0)
@@ -436,24 +451,35 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 et_p, et_v = cand_sweep.et_pairs, cand_sweep.et_valid
             else:
                 cand_sweep = cand
-            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp, fext)
+            # ONE swept compaction serves E0 and every line-search trial:
+            # pairs that can reach d^2 < dHat anywhere on [x, x+alpha0*dx]
+            # (per-pair travel bound; 2x the point-active capacity)
+            ls_act = (
+                sc.active_set(x, cand_sweep, dHat, disp=alpha0 * dx, cap_scale=2)
+                if sc is not None
+                else None
+            )
+            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act)
 
             def ls_cond(ls):
-                alpha, j, ok = ls
+                alpha, j, ok, E_last = ls
                 return (~ok) & (j < max_linesearch)
 
             def ls_body(ls):
-                alpha, j, ok = ls
+                alpha, j, ok, E_last = ls
                 x_try = x + alpha * dx
-                E_try = energy(x_try, x_tilde, kappa, cand_sweep, fric, damp, fext)
+                E_try = energy(
+                    x_try, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act
+                )
                 good = E_try <= E0
                 if sc is not None:
                     good = good & (~sc.intersects_pairs(x_try, et_p, et_v))
                 alpha_next = jnp.where(good, alpha, alpha * 0.5)
-                return alpha_next, j + 1, good
+                return alpha_next, j + 1, good, E_try
 
-            alpha, _, accepted = jax.lax.while_loop(
-                ls_cond, ls_body, (alpha0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+            alpha, _, accepted, E_acc = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (alpha0, jnp.asarray(0, jnp.int32), jnp.asarray(False), E0),
             )
             # stall detection: an exhausted or vanishing line search means
             # the iterate is at the dtype's energy noise floor (f32 runs hit
@@ -462,7 +488,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # same role, Optimizer.cpp:2067-2149)
             stalled = (~accepted) | (alpha < 1e-6)
             x_new = jnp.where(accepted, x + alpha * dx, x)
-            E_new = energy(x_new, x_tilde, kappa, cand_sweep, fric, damp, fext)
+            # the accepted trial's energy IS E(x_new) (same candidate set);
+            # when rejected x_new == x and E0 applies — no extra energy eval
+            E_new = jnp.where(accepted, E_acc, E0)
 
             from ipc_tpu.parallel.spmd import constrain as _cstr
 
@@ -479,8 +507,16 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 pt_count=jnp.maximum(c["pt_count"], cand.pt_count if cand is not None else 0),
                 ee_count=jnp.maximum(c["ee_count"], cand.ee_count if cand is not None else 0),
                 et_count=jnp.maximum(c["et_count"], cand_sweep.et_count if cand_sweep is not None else 0),
-                active_pt_max=jnp.maximum(c["active_pt_max"], active_count[0]),
-                active_ee_max=jnp.maximum(c["active_ee_max"], active_count[1]),
+                # the swept set lives in a 2x-capacity buffer, so its count
+                # demands cap_act >= ceil(cnt/2) — fold into the same max
+                active_pt_max=jnp.maximum(
+                    jnp.maximum(c["active_pt_max"], active_count[0]),
+                    (ls_act.cnt_pt + 1) // 2 if ls_act is not None else 0,
+                ),
+                active_ee_max=jnp.maximum(
+                    jnp.maximum(c["active_ee_max"], active_count[1]),
+                    (ls_act.cnt_ee + 1) // 2 if ls_act is not None else 0,
+                ),
                 pcg_total=c["pcg_total"] + jnp.where(take, pcg_iters, 0),
                 bucket_ov=jnp.maximum(
                     c["bucket_ov"],
