@@ -15,6 +15,17 @@ src/CollisionObject/CollisionObject.h:28-473):
   alpha <= slackness * (-dist / (n.p)) (HalfSpace.cpp:242-271);
 * lagged friction on the plane's tangent basis (HalfSpace.cpp:272-415).
 
+MOVING planes (the reference's ACO scripts; CollisionObject.h:32 carries
+velocitydt, HalfSpace::move clamps the per-step plane displacement against
+the surface vertices, HalfSpace.cpp:389-415): the plane offset D is a
+per-step value, so every barrier method takes an optional traced `D`
+override (static scenes keep the baked constant — same trace), and the
+friction terms take an optional `veldt` (the plane's displacement this
+step) subtracted from the relative displacement exactly like
+`VDiff -= Base::velocitydt` (HalfSpace.cpp:286,314,348). The per-step
+clamped move itself (`move_bound`) is a host-side O(Sv) numpy reduction —
+it runs once per step outside the jitted solve.
+
 The active set is a fixed-shape boolean mask over surface vertices — no
 dynamic lists.
 """
@@ -78,40 +89,48 @@ class HalfSpace:
 
     # -- geometry ----------------------------------------------------------
 
-    def signed_dist(self, x_sv):
-        """(Sv,) signed distances of surface-vertex positions (Sv,3)."""
-        n = jnp.asarray(self._n, x_sv.dtype)
-        return x_sv @ n + jnp.asarray(self._D, x_sv.dtype)
+    def D_of_origin(self, origin):
+        """Plane offset D for a (possibly traced) origin: D = -n.origin."""
+        return -(jnp.asarray(origin) @ jnp.asarray(self._n, jnp.asarray(origin).dtype))
 
-    def dist2(self, x_sv):
-        d = self.signed_dist(x_sv)
+    def signed_dist(self, x_sv, D=None):
+        """(Sv,) signed distances of surface-vertex positions (Sv,3).
+
+        `D` (traced scalar) overrides the static plane offset for moving
+        planes; None keeps the baked constant."""
+        n = jnp.asarray(self._n, x_sv.dtype)
+        Dv = jnp.asarray(self._D if D is None else D, x_sv.dtype)
+        return x_sv @ n + Dv
+
+    def dist2(self, x_sv, D=None):
+        d = self.signed_dist(x_sv, D)
         return d * d
 
-    def active_mask(self, x_sv, dHat):
+    def active_mask(self, x_sv, dHat, D=None):
         """Active set: surface vertices with d^2 < dHat (reference
         CollisionObject::computeConstraintSet)."""
-        return self.dist2(x_sv) < dHat
+        return self.dist2(x_sv, D) < dHat
 
     # -- barrier energy / derivatives -------------------------------------
 
-    def energy(self, x_sv, kappa, dHat):
-        d2 = self.dist2(x_sv)
+    def energy(self, x_sv, kappa, dHat, D=None):
+        d2 = self.dist2(x_sv, D)
         return kappa * barrier(d2, dHat).sum()
 
-    def grad_sv(self, x_sv, kappa, dHat):
+    def grad_sv(self, x_sv, kappa, dHat, D=None):
         """(Sv,3) gradient w.r.t. the surface-vertex positions (barrier_grad
         is exactly zero beyond dHat, so no explicit active mask is needed)."""
         n = jnp.asarray(self._n, x_sv.dtype)
-        dist = self.signed_dist(x_sv)
+        dist = self.signed_dist(x_sv, D)
         d2 = dist * dist
         g_b = barrier_grad(d2, dHat)
         coef = kappa * g_b * 2.0 * dist
         return coef[:, None] * n[None, :]
 
-    def hess_blocks_sv(self, x_sv, kappa, dHat):
+    def hess_blocks_sv(self, x_sv, kappa, dHat, D=None):
         """(Sv,3,3) SPD per-vertex Hessian blocks (zero where inactive)."""
         n = jnp.asarray(self._n, x_sv.dtype)
-        dist = self.signed_dist(x_sv)
+        dist = self.signed_dist(x_sv, D)
         d2 = dist * dist
         g_b = barrier_grad(d2, dHat)
         H_b = barrier_hess(d2, dHat)
@@ -122,47 +141,73 @@ class HalfSpace:
 
     # -- feasible step -----------------------------------------------------
 
-    def largest_feasible_step(self, x_sv, p_sv, dbc_sv, slackness=0.9):
+    def largest_feasible_step(self, x_sv, p_sv, dbc_sv, slackness=0.9, D=None):
         """min over surface verts of slackness * (-dist / (n.p)) for verts
         moving toward the plane; DBC verts skipped (HalfSpace.cpp:242-271)."""
         n = jnp.asarray(self._n, x_sv.dtype)
         coef = p_sv @ n
-        dist = self.signed_dist(x_sv)
+        dist = self.signed_dist(x_sv, D)
         moving_in = (coef < 0.0) & (~dbc_sv)
         alpha = jnp.where(
             moving_in, -dist / jnp.where(moving_in, coef, -1.0) * slackness, jnp.inf
         )
         return alpha.min()
 
+    # -- scripted plane motion (host-side, once per step) -------------------
+
+    def move_bound(self, x_sv_np, deltaX, D=None, slackness=0.5):
+        """Clamped fraction of a plane displacement `deltaX` so the plane
+        never jumps past a surface vertex (reference HalfSpace::move,
+        HalfSpace.cpp:389-415: stepSize = min(1, slackness * dist / (n.dX))
+        over vertices the plane approaches). Pure-numpy host reduction; the
+        caller updates its origin by the returned fraction * deltaX. `D` is
+        the plane's CURRENT offset (defaults to the static one)."""
+        import numpy as np
+
+        n = self._n
+        coef = float(n @ np.asarray(deltaX, float))
+        if coef <= 0.0:  # plane moving away from (or along) its halfspace
+            return 1.0
+        dist = np.asarray(x_sv_np, float) @ n + (self._D if D is None else float(D))
+        return float(min(1.0, slackness * dist.min() / coef))
+
     # -- lagged friction ---------------------------------------------------
 
-    def friction_lambda(self, x_sv, mask, kappa, dHat):
+    def friction_lambda(self, x_sv, mask, kappa, dHat, D=None):
         """Lagged multipliers lambda = -kappa * 2 sqrt(d2) * g_b(d2) >= 0
         captured at the previous outer iterate (Optimizer.cpp:1552-1605)."""
-        d2 = self.dist2(x_sv)
+        d2 = self.dist2(x_sv, D)
         lam = -kappa * 2.0 * jnp.sqrt(jnp.maximum(d2, 0.0)) * barrier_grad(d2, dHat)
         return jnp.where(mask, lam, 0.0)
 
-    def friction_energy(self, x_sv, xt_sv, lam, eps2):
+    def friction_energy(self, x_sv, xt_sv, lam, eps2, veldt=None):
         """mu * sum lam_k f0(|tangential rel dx|), smooth band eps2 = fricDHat
-        (HalfSpace.cpp:272-330 + FrictionUtils f0)."""
+        (HalfSpace.cpp:272-330 + FrictionUtils f0). `veldt` is the plane's
+        own displacement this step (moving planes drag contacts with them:
+        VDiff -= velocitydt, HalfSpace.cpp:286)."""
         mu = self.params.friction
         if mu == 0.0:
             return jnp.asarray(0.0, x_sv.dtype)
         B = jnp.asarray(self._basis, x_sv.dtype)
         eps = jnp.sqrt(eps2)
-        u = (x_sv - xt_sv) @ B  # (Sv,2) tangential displacement
+        dxr = x_sv - xt_sv
+        if veldt is not None:
+            dxr = dxr - jnp.asarray(veldt, x_sv.dtype)[None, :]
+        u = dxr @ B  # (Sv,2) tangential displacement
         u2 = jnp.sum(u * u, axis=1)
         f0 = jnp.where(u2 > eps2, jnp.sqrt(jnp.maximum(u2, eps2)), f0_sf(u2, eps))
         return mu * jnp.sum(lam * f0)
 
-    def friction_grad_sv(self, x_sv, xt_sv, lam, eps2):
+    def friction_grad_sv(self, x_sv, xt_sv, lam, eps2, veldt=None):
         mu = self.params.friction
         if mu == 0.0:
             return jnp.zeros_like(x_sv)
         B = jnp.asarray(self._basis, x_sv.dtype)
         eps = jnp.sqrt(eps2)
-        u = (x_sv - xt_sv) @ B
+        dxr = x_sv - xt_sv
+        if veldt is not None:
+            dxr = dxr - jnp.asarray(veldt, x_sv.dtype)[None, :]
+        u = dxr @ B
         u2 = jnp.sum(u * u, axis=1)
         slip = u2 > eps2
         scale = jnp.where(
@@ -173,7 +218,8 @@ class HalfSpace:
         force_t = (mu * lam * scale)[:, None] * u  # (Sv,2)
         return force_t @ B.T
 
-    def friction_hess_blocks_sv(self, x_sv, xt_sv, lam, eps2, project=True):
+    def friction_hess_blocks_sv(self, x_sv, xt_sv, lam, eps2, project=True,
+                                veldt=None):
         """(Sv,3,3) analytic friction Hessian blocks.
 
         In the tangent plane: H_t = a I + c u u^T with
@@ -190,7 +236,10 @@ class HalfSpace:
             return jnp.zeros((x_sv.shape[0], 3, 3), x_sv.dtype)
         B = jnp.asarray(self._basis, x_sv.dtype)
         eps = jnp.sqrt(eps2)
-        u = (x_sv - xt_sv) @ B  # (Sv,2)
+        dxr = x_sv - xt_sv
+        if veldt is not None:
+            dxr = dxr - jnp.asarray(veldt, x_sv.dtype)[None, :]
+        u = dxr @ B  # (Sv,2)
         u2 = jnp.sum(u * u, axis=1)
         un = jnp.sqrt(jnp.maximum(u2, 0.0))
         slip = u2 > eps2

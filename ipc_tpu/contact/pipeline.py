@@ -288,18 +288,38 @@ class SelfContact:
             eps_e=cand.ee_eps_x[ie], cnt_pt=cnt_pt, cnt_ee=cnt_ee,
         )
 
-    def energy_active(self, x, act: ActiveSet, kappa, dHat):
+    def energy_active(self, x, act: ActiveSet, kappa, dHat, df=False):
         """Barrier energy on a compacted active set (== full-candidate
         energy; see ActiveSet). Pad rows evaluate stencil x[0,0,0,0] whose
-        reduced distance is 0 -> masked out before the sum."""
+        reduced distance is 0 -> masked out before the sum.
+
+        df=True returns a compensated double-float (hi, lo) pair
+        (ops/compensated.py) instead of a plain scalar."""
         e_pt = jax.vmap(SC.pt_pair_energy, in_axes=(0, None))(x[act.vids_p], dHat)
         e_ee = jax.vmap(SC.ee_pair_energy, in_axes=(0, 0, None))(
             x[act.vids_e], act.eps_e, dHat
         )
-        return kappa * (
-            jnp.where(act.ok_p, e_pt, 0.0).sum()
-            + jnp.where(act.ok_e, e_ee, 0.0).sum()
+        e_pt = jnp.where(act.ok_p, e_pt, 0.0)
+        e_ee = jnp.where(act.ok_e, e_ee, 0.0)
+        if df:
+            from ipc_tpu.ops.compensated import df_add, df_scale, df_sum
+
+            return df_scale(df_add(df_sum(e_pt), df_sum(e_ee)), kappa)
+        return kappa * (e_pt.sum() + e_ee.sum())
+
+    def energy_df(self, x, cand: Candidates, kappa, dHat):
+        """Full-candidate barrier energy as a compensated (hi, lo) pair —
+        the host line search's f32 resolution fix (same per-pair terms as
+        `energy`; only the reduction differs)."""
+        from ipc_tpu.ops.compensated import df_add, df_scale, df_sum
+
+        e_pt = jax.vmap(SC.pt_pair_energy, in_axes=(0, None))(x[cand.pt_vids], dHat)
+        e_ee = jax.vmap(SC.ee_pair_energy, in_axes=(0, 0, None))(
+            x[cand.ee_vids], cand.ee_eps_x, dHat
         )
+        e_pt = jnp.where(cand.pt_valid, e_pt, 0.0)
+        e_ee = jnp.where(cand.ee_valid, e_ee, 0.0)
+        return df_scale(df_add(df_sum(e_pt), df_sum(e_ee)), kappa)
 
     def gradient_active(self, x, act: ActiveSet, kappa, dHat):
         """(V,3) barrier gradient on a compacted active set."""

@@ -223,8 +223,8 @@ def grad_check(scene_path, steps=1):
             xp[vi, c] += eps
             xm[vi, c] -= eps
             fd = (
-                float(st._energy(jnp.asarray(xp), x_tilde, kappa, st.dHat, cand, None))
-                - float(st._energy(jnp.asarray(xm), x_tilde, kappa, st.dHat, cand, None))
+                st._energy_f(jnp.asarray(xp), x_tilde, kappa, st.dHat, cand, None)
+                - st._energy_f(jnp.asarray(xm), x_tilde, kappa, st.dHat, cand, None)
             ) / (2 * eps)
             scale = max(1.0, abs(fd))
             worst = max(worst, abs(g[vi, c] - fd) / scale)

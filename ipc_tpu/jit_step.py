@@ -140,7 +140,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     script = stepper.script
     if script is not None and script.host_only():
         raise ValueError(
-            "mesh-sequence / turning-point scripted scenes need the host path"
+            "mesh-sequence / turning-point / moving-plane (ACO) scripted "
+            "scenes need the host path"
         )
     disp_fn, fext_fn = (
         device_closures(script, dtype, dt) if script is not None else (None, None)
@@ -167,31 +168,80 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             return None
         return sc.build_candidates(x, disp, gap, with_et=with_et)
 
+    # compensated (double-float) energy accumulation for f32 runs: the
+    # barrier term is ~1e-7 of inertia+elasticity in a contact step, so a
+    # plain-f32 `E_try <= E0` cannot see it; (hi, lo) pairs give the line
+    # search ~48-bit resolution while staying in f32 TPU vector ops
+    # (ops/compensated.py; the f64 reference needs none of this)
+    use_df = dtype == jnp.float32 and getattr(p, "compensated_energy", True)
+    if use_df:
+        from ipc_tpu.ops.compensated import df_add, df_leq, df_sum, df_to_float
+
+        def e_zero():
+            z = jnp.asarray(0.0, dtype)
+            return (z, z)
+
+        def e_add_s(E, s):  # plain scalar term
+            return df_add(E, (s, jnp.zeros_like(s)))
+
+        def e_add_v(E, v):  # per-element term array, df-summed
+            return df_add(E, df_sum(v.reshape(-1)))
+
+        def e_add_t(E, t):  # already a (hi, lo) pair
+            return df_add(E, t)
+
+        e_leq = df_leq
+
+        def e_sel(c, a, b):
+            return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]))
+
+        e_out = df_to_float
+    else:
+
+        def e_zero():
+            return jnp.asarray(0.0, dtype)
+
+        def e_add_s(E, s):
+            return E + s
+
+        def e_add_v(E, v):
+            return E + v.sum()
+
+        def e_add_t(E, t):
+            return E + t
+
+        def e_leq(a, b):
+            return a <= b
+
+        e_sel = jnp.where
+
+        def e_out(E):
+            return E
+
     def energy(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None):
-        E = w_el * EL.elasticity_energy(x, mesh, p.model)
+        E = e_add_v(e_zero(), w_el * EL.elasticity_energy_per_elem(x, mesh, p.model))
         dxv = x - x_tilde
-        E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dxv * dxv)
+        E = e_add_v(E, 0.5 * mesh.mass[:, None] * dxv * dxv)
         if fext is not None:
-            E = E - w_el * jnp.sum(
+            E = e_add_s(E, -w_el * jnp.sum(
                 jnp.where(dbc[:, None], 0.0, mesh.mass[:, None] * fext * x)
-            )
+            ))
         x_sv = x[sv]
         for hs in stepper.halfspaces:
-            E = E + hs.energy(x_sv, kappa, dHat)
+            E = e_add_s(E, hs.energy(x_sv, kappa, dHat))
         if sc is not None:
             # a compacted (possibly line-search-swept) active set evaluates
             # the same barrier sum over ~10-50x fewer rows (see ActiveSet)
-            E = E + (
-                sc.energy_active(x, act, kappa, dHat)
-                if act is not None
-                else sc.energy(x, cand, kappa, dHat)
-            )
-        E = E + stepper._friction_energy(x, fric)
+            if act is not None:
+                E = e_add_t(E, sc.energy_active(x, act, kappa, dHat, df=use_df))
+            else:
+                E = e_add_s(E, sc.energy(x, cand, kappa, dHat))
+        E = e_add_s(E, stepper._friction_energy(x, fric))
         if damp is not None:
             dxd = jnp.where(dbc[:, None], 0.0, x - damp["x_ref"])
             v4 = dxd[mesh.tets].reshape(-1, 12)
             Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
-            E = E + 0.5 * jnp.sum(v4 * Av)
+            E = e_add_v(E, 0.5 * v4 * Av)
         return E
 
     def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None):
@@ -471,7 +521,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 E_try = energy(
                     x_try, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act
                 )
-                good = E_try <= E0
+                good = e_leq(E_try, E0)
                 if sc is not None:
                     good = good & (~sc.intersects_pairs(x_try, et_p, et_v))
                 alpha_next = jnp.where(good, alpha, alpha * 0.5)
@@ -490,7 +540,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             x_new = jnp.where(accepted, x + alpha * dx, x)
             # the accepted trial's energy IS E(x_new) (same candidate set);
             # when rejected x_new == x and E0 applies — no extra energy eval
-            E_new = jnp.where(accepted, E_acc, E0)
+            E_new = e_sel(accepted, E_acc, E0)
 
             from ipc_tpu.parallel.spmd import constrain as _cstr
 
@@ -503,7 +553,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 done=converged | stalled,
                 dist=dist,
                 alpha=jnp.where(take, alpha, c["alpha"]),
-                energy=jnp.where(take, E_new, c["energy"]),
+                energy=jnp.where(take, e_out(E_new), c["energy"]),
                 pt_count=jnp.maximum(c["pt_count"], cand.pt_count if cand is not None else 0),
                 ee_count=jnp.maximum(c["ee_count"], cand.ee_count if cand is not None else 0),
                 et_count=jnp.maximum(c["et_count"], cand_sweep.et_count if cand_sweep is not None else 0),

@@ -106,6 +106,11 @@ class Script:
     mesh_seqs: list = field(default_factory=list)
     turning: list = field(default_factory=list)  # TurningRule list
     mco_motions: list = field(default_factory=list)  # per-MeshCO lin/ang vel
+    # moving analytic half-spaces (reference ACO* scripts): family name +
+    # mutable per-plane velocity table (units/s), consumed by the host
+    # stepper's per-step plane move (timestepper._step_aco)
+    aco_kind: str = None  # "squash" | "squash6" | "squashshear"
+    aco_vel: object = None  # (n_planes, 3) float array, mutated by flips
     init_velocity_fn: object = None  # (V,3) -> (V,3)
     x0_transform: object = None  # rest V -> initial positions (scaleF etc.)
     dbc_time_range: tuple = (0.0, math.inf)
@@ -137,9 +142,10 @@ class Script:
         )
 
     def host_only(self):
-        """True when the script needs per-step host work (file IO or
-        stateful turning rules) and cannot run inside the jitted step."""
-        return bool(self.mesh_seqs or self.turning)
+        """True when the script needs per-step host work (file IO, stateful
+        turning rules, or moving analytic planes) and cannot run inside the
+        jitted step."""
+        return bool(self.mesh_seqs or self.turning or self.aco_kind)
 
     def _apply_turning(self, x):
         """Mutate group/handle velocities per the active turning rules
@@ -803,12 +809,21 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
                  else np.array([0.0, -1.0, 0.0]), ang=None)
         )
     elif name_l in ("mcosquash", "acosquash", "acosquashshear"):
-        # two collision objects squashing along x (reference MCO/ACOVelocity)
+        # two collision objects squashing along x (reference MCO/ACOVelocity,
+        # AnimScripter.cpp:956-993). ACO variants drive analytic half-spaces
+        # when the scene declares them (sim.py binding); mco_motions stay as
+        # the fallback for meshCO-only scenes.
         sc.mco_motions.append(dict(lin=np.array([1.0, 0.0, 0.0]), ang=None))
         sc.mco_motions.append(dict(lin=np.array([-1.0, 0.0, 0.0]), ang=None))
+        if name_l != "mcosquash":
+            sc.aco_kind = "squashshear" if name_l.endswith("shear") else "squash"
+            sc.aco_vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
     elif name_l == "acosquash6":
-        for v in ([1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]):
+        vels = [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
+        for v in vels:
             sc.mco_motions.append(dict(lin=np.array(v, float), ang=None))
+        sc.aco_kind = "squash6"
+        sc.aco_vel = np.array(vels, float)
     elif name_l == "mcorotsquash":
         sc.mco_motions.append(dict(lin=None, ang=np.array([0.0, 0.0, math.pi])))
         sc.mco_motions.append(dict(lin=None, ang=np.array([0.0, 0.0, math.pi])))

@@ -190,6 +190,12 @@ class Simulation:
             HalfSpace(HalfSpaceParams(origin=h.origin, normal=h.normal, friction=h.friction))
             for h in cfg.halfspaces
         ]
+        # ACO scripts animate the scene's ANALYTIC planes when it declares
+        # any (reference AnimScripter ACO* branches drive the ACO list,
+        # AnimScripter.cpp:1832-1890); the meshCO fallback binding below is
+        # for plane-less scenes that reuse the same script names
+        if getattr(script, "aco_kind", None) and halfspaces:
+            script.mco_motions = []
         # kinematic mesh collision objects (reference MeshCO<3>): appended
         # as Dirichlet surface-only geometry; contacts + friction flow
         # through the one self-contact pipeline with per-vertex mu
@@ -401,7 +407,7 @@ class Simulation:
         try:
             self._run_loop(state, start, total, step_fn, logger, out_dir, save_every, verbose)
         except RuntimeError:
-            save_status(os.path.join(out_dir, "status_failed.npz"), self._last_state, -1)
+            save_status(os.path.join(out_dir, "status_failed.npz"), self._last_state, -1, self.stepper)
             raise
         finally:
             wall = time.perf_counter() - t0
@@ -495,7 +501,7 @@ class Simulation:
                 if self._recorder is not None:
                     self._recorder.add(np.asarray(state.x))
                 with logger.timers.section("io"):
-                    save_status(os.path.join(out_dir, f"status{k + 1}.npz"), state, k + 1)
+                    save_status(os.path.join(out_dir, f"status{k + 1}.npz"), state, k + 1, self.stepper)
                     # triangulated surface in surface-local indices (the
                     # reference's saveSurfaceMesh writes faces, not a point
                     # cloud)

@@ -149,6 +149,9 @@ class StepStats:
     kappa: float = 0.0
     pcg_iters: list = field(default_factory=list)
     intersection_backtracks: int = 0
+    # postLineSearch kappa doublings (reference Optimizer.cpp:2356-2446) —
+    # evidence for whether the jit path's doubling-free schedule suffices
+    kappa_doublings: int = 0
 
 
 class IPCStepper:
@@ -188,6 +191,27 @@ class IPCStepper:
         self.avg_node_mass = meta.avg_node_mass
         self.gravity = np.asarray(params.gravity)
 
+        # moving analytic half-spaces (reference ACO scripts; CollisionObject
+        # velocitydt + HalfSpace::move): host-side plane state. When a scene
+        # binds an ACO script to its planes, every jitted kernel receives the
+        # CURRENT plane offsets as a traced (n_hs,) array `hs_D` (one extra
+        # trace vs the static-plane variant, then cached), and the lagged
+        # friction sees each plane's per-step displacement (veldt).
+        self.hs_origin = (
+            np.array([np.asarray(h.params.origin, float) for h in self.halfspaces])
+            if self.halfspaces
+            else np.zeros((0, 3))
+        )
+        self.hs_veldt = np.zeros_like(self.hs_origin)
+        self.hs_moving = bool(
+            script is not None
+            and getattr(script, "aco_kind", None)
+            and self.halfspaces
+        )
+        self._hs_D = None  # traced (n_hs,) plane-offset override when moving
+        if self.hs_moving:
+            self._refresh_hs_D()
+
         self._sv = mesh.surf_verts
         self._dbc_sv = mesh.dbc_mask[mesh.surf_verts]
         self._solve_fric = any(hs.params.friction > 0.0 for hs in self.halfspaces) or (
@@ -196,6 +220,56 @@ class IPCStepper:
         )
 
         self._build_kernels()
+
+    # ------------------------------------------------------------------
+    # moving analytic half-spaces (reference ACO scripts)
+    # ------------------------------------------------------------------
+
+    def _refresh_hs_D(self):
+        """Recompute the traced plane-offset array from the host origins."""
+        self._hs_D = jnp.asarray(
+            [-(h._n @ o) for h, o in zip(self.halfspaces, self.hs_origin)],
+            self.dtype,
+        )
+
+    def _step_aco(self, x_sv_np):
+        """Advance scripted analytic-plane motion one step (reference
+        stepAnimScript AST_ACOSQUASH/6/SHEAR, AnimScripter.cpp:1832-1890):
+        flip velocities on the squash-separation conditions, then move each
+        plane by a CCD-clamped fraction of vel*dt (HalfSpace::move,
+        slackness 0.5). ACOSquashShear alone sets velocitydt so the plane
+        motion enters the friction terms (the reference leaves velocitydt
+        zero for the other two)."""
+        script = self.script
+        vel = script.aco_vel
+        orig = self.hs_origin
+        kind = script.aco_kind
+        if kind == "squash" and len(orig) >= 2:
+            if orig[1][0] - orig[0][0] < 0.1:
+                vel[0][0] *= -1.0
+                vel[1][0] *= -1.0
+        elif kind == "squash6" and len(orig) >= 6:
+            for a, b, ax, thr in ((0, 1, 0, 0.2), (2, 3, 1, 0.2), (4, 5, 2, 0.2)):
+                if orig[b][ax] - orig[a][ax] < thr:
+                    vel[a][ax] *= -1.0
+                    vel[b][ax] *= -1.0
+        elif kind == "squashshear" and len(orig) >= 2:
+            if orig[1][0] - orig[0][0] < 0.8:
+                vel[0][:] = 0.0
+                vel[1][:] = (0.0, 1.0, 0.0)
+        self.hs_veldt[:] = 0.0
+        for i, hs in enumerate(self.halfspaces):
+            if i >= len(vel):
+                break
+            dX = np.asarray(vel[i], float) * self.dt
+            if not np.any(dX):
+                continue
+            if kind == "squashshear":
+                self.hs_veldt[i] = dX
+            D_i = -(hs._n @ self.hs_origin[i])
+            s = hs.move_bound(x_sv_np, dX, D=D_i, slackness=0.5)
+            self.hs_origin[i] = self.hs_origin[i] + s * dX
+        self._refresh_hs_D()
 
     # ------------------------------------------------------------------
     # kappa schedule (reference Optimizer.cpp:2215-2313)
@@ -218,7 +292,7 @@ class IPCStepper:
         """Balance the unit-kappa contact gradient against the remaining
         objective gradient on free DOFs (reference initKappa)."""
         g_E = np.asarray(self._grad_no_contact(x, x_tilde, fric))
-        g_c = np.asarray(self._grad_contact_unit(x, dHat, cand))
+        g_c = np.asarray(self._grad_contact_unit(x, dHat, cand, self._hs_D))
         free = ~np.asarray(self.mesh.dbc_mask)
         g_E, g_c = g_E[free], g_c[free]
         denom = float((g_c * g_c).sum())
@@ -257,28 +331,54 @@ class IPCStepper:
         else:
             coarse_assemble = coarse_term = None
 
+        def hsD(hs_D, i):
+            """Per-plane traced offset override (None -> static plane)."""
+            return None if hs_D is None else hs_D[i]
+
+        # compensated (double-float) accumulation for f32 host runs: the
+        # barrier term is ~1e-7 of inertia+elasticity, so a plain-f32 sum
+        # loses it before the Python-f64 line-search comparison ever sees
+        # it. With df=True the kernel returns a (hi, lo) pair summed to
+        # ~48 mantissa bits; the host collapses it in f64 (see _energy_f).
+        # f64 host runs need none of this (ops/compensated.py rationale).
+        use_df = self.dtype == jnp.float32 and getattr(p, "compensated_energy", True)
+        if use_df:
+            from ipc_tpu.ops.compensated import df_add, df_sum
+
         def energy(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
-                   mdbc=None):
-            E = dtSq * EL.elasticity_energy(x, mesh, model)
+                   mdbc=None, hs_D=None):
+            if use_df:
+                E = df_sum(dtSq * EL.elasticity_energy_per_elem(x, mesh, model))
+                add_v = lambda E, v: df_add(E, df_sum(v.reshape(-1)))
+                add_s = lambda E, s: df_add(E, (s, jnp.zeros_like(s)))
+                add_t = df_add
+            else:
+                E = dtSq * EL.elasticity_energy(x, mesh, model)
+                add_v = lambda E, v: E + v.sum()
+                add_s = lambda E, s: E + s
+                add_t = add_s
             dx = x - x_tilde
-            E = E + 0.5 * jnp.sum(mesh.mass[:, None] * dx * dx)
+            E = add_v(E, 0.5 * mesh.mass[:, None] * dx * dx)
             if mdbc is not None:
                 # moving-DBC augmented Lagrangian (reference augmentMDBCEnergy,
                 # AnimScripter.cpp:2302-2309): -sqrt(m) lam.(x-t) + rho/2 m|x-t|^2
                 dxt = x[mdbc["verts"]] - mdbc["target"]
-                E = E - jnp.sum(mdbc["sqrtm"][:, None] * mdbc["lam"] * dxt)
-                E = E + 0.5 * mdbc["rho"] * jnp.sum(mdbc["m"][:, None] * dxt * dxt)
+                E = add_s(E, -jnp.sum(mdbc["sqrtm"][:, None] * mdbc["lam"] * dxt))
+                E = add_s(E, 0.5 * mdbc["rho"] * jnp.sum(mdbc["m"][:, None] * dxt * dxt))
             if fext is not None:
                 # NBC work: -h^2 sum m_v f_v . x_v on free vertices
-                E = E - dtSq * jnp.sum(
+                E = add_s(E, -dtSq * jnp.sum(
                     jnp.where(mesh.dbc_mask[:, None], 0.0, mesh.mass[:, None] * fext * x)
-                )
+                ))
             x_sv = x[sv]
-            for hs in self.halfspaces:
-                E = E + hs.energy(x_sv, kappa, dHat)
+            for i, hs in enumerate(self.halfspaces):
+                E = add_s(E, hs.energy(x_sv, kappa, dHat, D=hsD(hs_D, i)))
             if sc is not None and cand is not None:
-                E = E + sc.energy(x, cand, kappa, dHat)
-            E = E + self._friction_energy(x, fric)
+                if use_df:
+                    E = add_t(E, sc.energy_df(x, cand, kappa, dHat))
+                else:
+                    E = add_s(E, sc.energy(x, cand, kappa, dHat))
+            E = add_s(E, self._friction_energy(x, fric))
             if damp is not None:
                 # lagged Rayleigh damping 1/2 dx^T A dx with A = the SPD
                 # elasticity Hessian at the last committed state scaled by
@@ -287,11 +387,11 @@ class IPCStepper:
                 dxd = jnp.where(mesh.dbc_mask[:, None], 0.0, x - damp["x_ref"])
                 v4 = dxd[mesh.tets].reshape(-1, 12)
                 Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
-                E = E + 0.5 * jnp.sum(v4 * Av)
+                E = add_v(E, 0.5 * v4 * Av)
             return E
 
         def grad(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
-                 mdbc=None):
+                 mdbc=None, hs_D=None):
             g = dtSq * EL.elasticity_gradient(x, mesh, model, vert_sum=gsum_tet)
             g = g + mesh.mass[:, None] * (x - x_tilde)
             if mdbc is not None:
@@ -304,8 +404,8 @@ class IPCStepper:
                 g = g - dtSq * mesh.mass[:, None] * fext
             x_sv = x[sv]
             g_sv = jnp.zeros_like(x_sv)
-            for hs in self.halfspaces:
-                g_sv = g_sv + hs.grad_sv(x_sv, kappa, dHat)
+            for i, hs in enumerate(self.halfspaces):
+                g_sv = g_sv + hs.grad_sv(x_sv, kappa, dHat, D=hsD(hs_D, i))
             g = g.at[sv].add(g_sv)
             if sc is not None and cand is not None:
                 g = g + sc.gradient(x, cand, kappa, dHat)
@@ -321,7 +421,8 @@ class IPCStepper:
         # (see jit_step.py rationale)
         lag_coarse = int(mesh.tets.shape[0]) >= 32768
 
-        def assemble_coarse(x, kappa, dHat, cand, fric, damp=None, mdbc=None):
+        def assemble_coarse(x, kappa, dHat, cand, fric, damp=None, mdbc=None,
+                            hs_D=None):
             """Coarse matrix once per sub-solve (lagged; see jit_step)."""
             if coarse_assemble is None:
                 return None
@@ -330,8 +431,8 @@ class IPCStepper:
                 Hel = Hel + damp["blocks"]
             x_sv = x[sv]
             Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
-            for hs in self.halfspaces:
-                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+            for i, hs in enumerate(self.halfspaces):
+                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat, D=hsD(hs_D, i))
             contribs = [(sv[:, None], Hsv)]
             if sc is not None and cand is not None:
                 vids_act, H_act, _ = sc.hessian_blocks_active(
@@ -349,13 +450,13 @@ class IPCStepper:
             return coarse_assemble(mesh.mass, contribs, tet_H=Hel)
 
         def search_dir(x, x_tilde, kappa, dHat, cand, fric, fext=None, damp=None,
-                       mdbc=None, ainv_c=None):
-            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc)
+                       mdbc=None, ainv_c=None, hs_D=None):
+            g = grad(x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc, hs_D)
             Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
             x_sv = x[sv]
             Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
-            for hs in self.halfspaces:
-                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+            for i, hs in enumerate(self.halfspaces):
+                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat, D=hsD(hs_D, i))
             fric_blocks = self._friction_hessians(x, fric)  # list of (ids, H)
             if sc is not None and cand is not None:
                 vids_act, H_act, active_count = sc.hessian_blocks_active(
@@ -449,9 +550,7 @@ class IPCStepper:
                     return apply_block_precond(inv_diag, r)
 
             rhs = -g
-            if p.linsys == "dense":
-                from ipc_tpu.solver.direct import assemble_dense, dense_solve
-
+            if p.linsys in ("dense", "sparse"):
                 contribs = [(tets, Hel), (sv[:, None], Hsv)]
                 if H_act is not None:
                     contribs.append((vids_act, H_act))
@@ -463,10 +562,20 @@ class IPCStepper:
                         (mdbc["rho"] * mdbc["m"])[:, None, None]
                         * jnp.eye(3, dtype=x.dtype)[None],
                     ))
-                Ad = assemble_dense(
-                    x.shape[0], mesh.mass, contribs, mesh.dbc_mask
-                )
-                dx = dense_solve(Ad, rhs)
+                if p.linsys == "sparse":
+                    # CHOLMOD-class exact solve on the host (SuperLU);
+                    # medium-scale f64 parity path (solver/sparse_direct.py)
+                    from ipc_tpu.solver.sparse_direct import make_sparse_solver
+
+                    solve_cb = make_sparse_solver(int(x.shape[0]), x.dtype)
+                    dx = solve_cb(mesh.mass, mesh.dbc_mask, rhs, contribs)
+                else:
+                    from ipc_tpu.solver.direct import assemble_dense, dense_solve
+
+                    Ad = assemble_dense(
+                        x.shape[0], mesh.mass, contribs, mesh.dbc_mask
+                    )
+                    dx = dense_solve(Ad, rhs)
                 iters = jnp.asarray(1, jnp.int32)
                 rel = jnp.asarray(0.0, x.dtype)
             else:
@@ -485,30 +594,33 @@ class IPCStepper:
             dx = jnp.where(bad, apply_block_precond(inv_diag, rhs), dx)
             return dx, g, iters, rel, active_count
 
-        def feasible_step_local(x, dx):
+        def feasible_step_local(x, dx, hs_D=None):
             """Inversion cubic + half-space closed form (no mesh CCD)."""
             alpha = jnp.asarray(1.0, x.dtype)
             alpha = jnp.minimum(alpha, EL.filter_step_size(x, dx, mesh, model))
             x_sv = x[sv]
             p_sv = dx[sv]
-            for hs in self.halfspaces:
+            for i, hs in enumerate(self.halfspaces):
                 alpha = jnp.minimum(
                     alpha,
-                    hs.largest_feasible_step(x_sv, p_sv, self._dbc_sv, p.ccd_slackness_a),
+                    hs.largest_feasible_step(
+                        x_sv, p_sv, self._dbc_sv, p.ccd_slackness_a,
+                        D=hsD(hs_D, i),
+                    ),
                 )
             return alpha
 
-        def jacobi_dir(x, x_tilde, kappa, dHat, cand, fric):
+        def jacobi_dir(x, x_tilde, kappa, dHat, cand, fric, hs_D=None):
             """Block-Jacobi-preconditioned steepest descent direction
             (reference initX mode 5, Optimizer.cpp:1082-1110, which divides
             by the scalar Hessian diagonal; the 3x3 block version is the
             same idea with the block structure we already assemble)."""
-            g = grad(x, x_tilde, kappa, dHat, cand, fric)
+            g = grad(x, x_tilde, kappa, dHat, cand, fric, hs_D=hs_D)
             Hel = dtSq * EL.elasticity_hessian_blocks(x, mesh, model, True)
             x_sv = x[sv]
             Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
-            for hs in self.halfspaces:
-                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+            for i, hs in enumerate(self.halfspaces):
+                Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat, D=hsD(hs_D, i))
             dix = jnp.asarray(
                 [c * 39 + i * 12 + j
                  for c in range(4) for i in range(3) for j in range(3)],
@@ -533,6 +645,7 @@ class IPCStepper:
             return -apply_block_precond(block_jacobi_inverse(diag), g)
 
         self._energy = jax.jit(energy)
+        self._energy_df = use_df
         self._lag_coarse = lag_coarse
         self._assemble_coarse = jax.jit(assemble_coarse)
         self._grad = jax.jit(grad)
@@ -546,11 +659,11 @@ class IPCStepper:
             g = g + self._friction_gradient(x, fric)
             return g
 
-        def grad_contact_unit(x, dHat, cand):
+        def grad_contact_unit(x, dHat, cand, hs_D=None):
             x_sv = x[sv]
             g_sv = jnp.zeros_like(x_sv)
-            for hs in self.halfspaces:
-                g_sv = g_sv + hs.grad_sv(x_sv, 1.0, dHat)
+            for i, hs in enumerate(self.halfspaces):
+                g_sv = g_sv + hs.grad_sv(x_sv, 1.0, dHat, D=hsD(hs_D, i))
             g = jnp.zeros_like(x).at[sv].add(g_sv)
             if sc is not None and cand is not None:
                 g = g + sc.gradient(x, cand, 1.0, dHat)
@@ -596,14 +709,27 @@ class IPCStepper:
     # friction term helpers (fric is a dict or None)
     # ------------------------------------------------------------------
 
+    def _energy_f(self, *args, **kw):
+        """Host scalar objective: collapse the kernel's compensated
+        (hi, lo) pair in Python f64 — the line-search comparisons then see
+        ~48 mantissa bits of the f32 accumulation (plain float for f64
+        runs)."""
+        E = self._energy(*args, **kw)
+        if self._energy_df:
+            return float(E[0]) + float(E[1])
+        return float(E)
+
     def _friction_energy(self, x, fric):
         if fric is None:
             return jnp.asarray(0.0, x.dtype)
         E = jnp.asarray(0.0, x.dtype)
         x_sv = x[self._sv]
-        for hs, st in zip(self.halfspaces, fric["hs"]):
+        veldts = fric.get("hs_veldt") or [None] * len(self.halfspaces)
+        for hs, st, vdt in zip(self.halfspaces, fric["hs"], veldts):
             if hs.params.friction > 0.0:
-                E = E + hs.friction_energy(x_sv, fric["anchor"][self._sv], st, fric["eps2"])
+                E = E + hs.friction_energy(
+                    x_sv, fric["anchor"][self._sv], st, fric["eps2"], veldt=vdt
+                )
         if fric.get("sc") is not None:
             from ipc_tpu.contact import selfcollision as SCmod
 
@@ -617,10 +743,13 @@ class IPCStepper:
             return jnp.zeros_like(x)
         g = jnp.zeros_like(x)
         x_sv = x[self._sv]
-        for hs, st in zip(self.halfspaces, fric["hs"]):
+        veldts = fric.get("hs_veldt") or [None] * len(self.halfspaces)
+        for hs, st, vdt in zip(self.halfspaces, fric["hs"], veldts):
             if hs.params.friction > 0.0:
                 g = g.at[self._sv].add(
-                    hs.friction_grad_sv(x_sv, fric["anchor"][self._sv], st, fric["eps2"])
+                    hs.friction_grad_sv(
+                        x_sv, fric["anchor"][self._sv], st, fric["eps2"], veldt=vdt
+                    )
                 )
         if fric.get("sc") is not None:
             from ipc_tpu.contact import selfcollision as SCmod
@@ -637,10 +766,11 @@ class IPCStepper:
         if fric is None:
             return out
         x_sv = x[self._sv]
-        for hs, st in zip(self.halfspaces, fric["hs"]):
+        veldts = fric.get("hs_veldt") or [None] * len(self.halfspaces)
+        for hs, st, vdt in zip(self.halfspaces, fric["hs"], veldts):
             if hs.params.friction > 0.0:
                 H3 = hs.friction_hess_blocks_sv(
-                    x_sv, fric["anchor"][self._sv], st, fric["eps2"]
+                    x_sv, fric["anchor"][self._sv], st, fric["eps2"], veldt=vdt
                 )
                 # embed (Sv,3,3) into (Sv,12,12) on stencil (v,v,v,v)/4? No:
                 # use a dedicated 1-vertex scatter via 12x12 with only the
@@ -669,10 +799,17 @@ class IPCStepper:
             return None
         x_sv = x[self._sv]
         hs_lams = []
-        for hs in self.halfspaces:
+        hs_veldt = None
+        if self.hs_moving:
+            hs_veldt = [
+                jnp.asarray(v, self.dtype) if np.any(v) else None
+                for v in self.hs_veldt
+            ]
+        for i, hs in enumerate(self.halfspaces):
             if hs.params.friction > 0.0:
-                m = hs.active_mask(x_sv, dHat)
-                hs_lams.append(hs.friction_lambda(x_sv, m, kappa, dHat))
+                D_i = None if self._hs_D is None else self._hs_D[i]
+                m = hs.active_mask(x_sv, dHat, D=D_i)
+                hs_lams.append(hs.friction_lambda(x_sv, m, kappa, dHat, D=D_i))
             else:
                 hs_lams.append(None)
         sc_state = None
@@ -690,6 +827,7 @@ class IPCStepper:
             sc=sc_state,
             anchor=x_anchor,
             eps2=jnp.asarray(self.fric_dhat, self.dtype),
+            hs_veldt=hs_veldt,
         )
 
     # ------------------------------------------------------------------
@@ -749,11 +887,16 @@ class IPCStepper:
         # triggers the moving-DBC augmented Lagrangian below.
         completed = 1.0
         mdbc_targets = None
+        # scripted analytic-plane motion (reference ACO scripts) runs first,
+        # exactly like stepAnimScript's ACO branches: CCD-clamped plane move
+        # + velocity flips, before any DBC/solve work this step
+        if self.hs_moving:
+            self._step_aco(np.asarray(x)[np.asarray(self._sv)])
         if self.script is not None and self.script.has_motion():
             disp_np = self.script.step_displacement(np.asarray(x), float(state.t), self.dt)
             if np.any(disp_np):
                 disp = jnp.asarray(disp_np, self.dtype)
-                scale = min(1.0, float(self._feasible_step_local(x, disp)))
+                scale = min(1.0, float(self._feasible_step_local(x, disp, self._hs_D)))
                 if self.sc is not None:
                     cand_s = self._candidates(x, disp=scale * disp)
                     scale = float(self._ccd_alpha(x, scale * disp, cand_s)) * scale
@@ -796,7 +939,8 @@ class IPCStepper:
                 # objective at the suggested kappa
                 cand_j = self._candidates(x)
                 dx0 = self._jacobi_dir(
-                    x, x_tilde, self.suggest_kappa(dHat), dHat, cand_j, None
+                    x, x_tilde, self.suggest_kappa(dHat), dHat, cand_j, None,
+                    self._hs_D,
                 )
             else:
                 g_dtSq = jnp.asarray(self.gravity, self.dtype)[None, :] * self.dtSq
@@ -810,7 +954,7 @@ class IPCStepper:
                     c = {3: (1.0, 2.0), 4: (0.5, 1.0)}.get(p.warm_start, (0.0, 0.0))
                     dx0 = dx0 + (c[1] if self.is_nm else c[0]) * state.dx_el
             dx0 = jnp.where(self.mesh.dbc_mask[:, None], 0.0, dx0)
-            alpha = float(self._feasible_step_local(x, dx0))
+            alpha = float(self._feasible_step_local(x, dx0, self._hs_D))
             if self.sc is not None:
                 cand_ws = self._candidates(x, disp=alpha * dx0)
                 alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx0, cand_ws)) * alpha)
@@ -928,12 +1072,12 @@ class IPCStepper:
                 # lagged coarse preconditioner: assembled once per
                 # sub-solve at the entry iterate (see assemble_coarse)
                 ainv_c = self._assemble_coarse(
-                    x, kappa, dHat, cand, fric, damp, mdbc
+                    x, kappa, dHat, cand, fric, damp, mdbc, self._hs_D
                 )
             while True:
                 dx, g, pcg_iters, pcg_rel, active_count = self._search_dir(
                     x, x_tilde, kappa, dHat, cand, fric, fext, damp, mdbc,
-                    ainv_c
+                    ainv_c, self._hs_D
                 )
                 if self.sc is None or not self.sc.ensure_active_cap(
                     int(active_count[0]), int(active_count[1])
@@ -949,7 +1093,7 @@ class IPCStepper:
                 break
 
             # feasible step: inversion + half-space closed form + mesh ACCD
-            alpha = float(self._feasible_step_local(x, dx))
+            alpha = float(self._feasible_step_local(x, dx, self._hs_D))
             if self.sc is not None:
                 cand_ccd = self._candidates(x, disp=alpha * dx)
                 alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx, cand_ccd)) * alpha)
@@ -960,11 +1104,11 @@ class IPCStepper:
                 raise RuntimeError("feasible step size is 0 (CCD)")
 
             # backtracking line search (Armijo c1=0, reference lineSearch)
-            E0 = float(self._energy(x, x_tilde, kappa, dHat, cand_ls, fric, fext, damp, mdbc))
+            E0 = self._energy_f(x, x_tilde, kappa, dHat, cand_ls, fric, fext, damp, mdbc, self._hs_D)
             stalled = False
             while True:
                 x_new = x + alpha * dx
-                E_new = float(self._energy(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext, damp, mdbc))
+                E_new = self._energy_f(x_new, x_tilde, kappa, dHat, cand_ls, fric, fext, damp, mdbc, self._hs_D)
                 if E_new <= E0:
                     break
                 if alpha < 1e-12:
@@ -1017,7 +1161,10 @@ class IPCStepper:
                 break
 
             if p.adaptive_kappa:
+                kappa_prev = kappa
                 kappa, close_d2 = self._post_line_search(x, kappa, dHat, close_d2, cand_ls)
+                if kappa > kappa_prev:
+                    stats.kappa_doublings += 1
 
             if verbose:
                 print(

@@ -155,9 +155,15 @@ class RunLogger:
             f.close()
 
 
-def save_status(path, state, step_idx):
+def save_status(path, state, step_idx, stepper=None):
     """Full-precision checkpoint (saveStatus analog, Optimizer.cpp:2964-3014):
-    timestep index + positions + velocities (+ acceleration slot)."""
+    timestep index + positions + velocities (+ acceleration slot). Moving
+    analytic planes (ACO scripts) add their origins + velocity table so a
+    restart resumes the plane motion mid-flip."""
+    extra = {}
+    if stepper is not None and getattr(stepper, "hs_moving", False):
+        extra["hs_origin"] = np.asarray(stepper.hs_origin, np.float64)
+        extra["aco_vel"] = np.asarray(stepper.script.aco_vel, np.float64)
     np.savez_compressed(
         path,
         step=step_idx,
@@ -165,6 +171,7 @@ def save_status(path, state, step_idx):
         x=np.asarray(state.x, dtype=np.float64),
         v=np.asarray(state.v, dtype=np.float64),
         a=np.asarray(state.a, dtype=np.float64),
+        **extra,
     )
 
 
@@ -243,6 +250,10 @@ def load_status(path, stepper):
 
     z = np.load(path)
     dtype = stepper.dtype
+    if "hs_origin" in z and getattr(stepper, "hs_moving", False):
+        stepper.hs_origin[:] = z["hs_origin"]
+        stepper.script.aco_vel[:] = z["aco_vel"]
+        stepper._refresh_hs_D()
     x = jnp.asarray(z["x"], dtype)
     return SimState(
         x=x,

@@ -154,7 +154,7 @@ def test_damping_gradient_consistent():
             xp[vi, c] += eps
             xm[vi, c] -= eps
             fd = (
-                float(st._energy(jnp.asarray(xp), xt, kappa, st.dHat, cand, None, None, damp))
-                - float(st._energy(jnp.asarray(xm), xt, kappa, st.dHat, cand, None, None, damp))
+                st._energy_f(jnp.asarray(xp), xt, kappa, st.dHat, cand, None, None, damp)
+                - st._energy_f(jnp.asarray(xm), xt, kappa, st.dHat, cand, None, None, damp)
             ) / (2 * eps)
             np.testing.assert_allclose(g[vi, c], fd, rtol=2e-3, atol=1e-6 * max(1, abs(fd)))

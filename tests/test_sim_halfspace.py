@@ -112,6 +112,120 @@ def test_warm_start_modes_agree():
         assert err < 2e-3, (ws, err)
 
 
+def _two_plane_stepper(kind="squash", fric=0.0, sep=0.6):
+    """Soft cube centered at the origin between two x-facing analytic
+    planes at +-sep, driven by an ACO script (reference AST_ACOSQUASH
+    family, AnimScripter.cpp:1832-1890)."""
+    from ipc_tpu.scripting import Script
+
+    V, T = cube(2)
+    V = V - 0.5
+    mesh, meta = build_mesh(V, T, ym=5e4)
+    hs0 = HalfSpace(HalfSpaceParams(origin=(-sep, 0, 0), normal=(1, 0, 0), friction=fric))
+    hs1 = HalfSpace(HalfSpaceParams(origin=(sep, 0, 0), normal=(-1, 0, 0), friction=fric))
+    script = Script(
+        n_verts=len(V), aco_kind=kind,
+        aco_vel=np.array([[1.0, 0, 0], [-1.0, 0, 0]]),
+    )
+    st = IPCStepper(
+        mesh, meta, SimParams(gravity=(0, 0, 0)),
+        halfspaces=[hs0, hs1], script=script,
+    )
+    return st
+
+
+def test_aco_squash_moving_planes():
+    """Moving analytic planes (ACOSquash): both planes advance, the clamped
+    move never crosses a surface vertex, and the barrier squashes the cube."""
+    st = _two_plane_stepper()
+    assert st.hs_moving
+    state = st.initial_state()
+    sv = np.asarray(st._sv)
+    for _ in range(10):
+        state, _ = st.step(state)
+        x_sv = np.asarray(state.x)[sv]
+        for i, hs in enumerate(st.halfspaces):
+            D = -(hs._n @ st.hs_origin[i])
+            d = x_sv @ hs._n + D
+            assert d.min() > 0.0, (i, d.min())
+    # planes moved inward (4+ unclamped steps of 0.025)
+    assert st.hs_origin[0][0] > -0.6 + 0.08, st.hs_origin[0]
+    assert st.hs_origin[1][0] < 0.6 - 0.08, st.hs_origin[1]
+    # the barrier started compressing the cube
+    x = np.asarray(state.x)
+    assert x[:, 0].max() - x[:, 0].min() < 1.0 - 1e-5
+
+
+def test_aco_velocity_flip_and_shear():
+    """ACO velocity state machine: squash flips both x velocities below the
+    0.1 separation; squashshear switches plane 1 to +y below 0.8 separation
+    and records velocitydt so friction sees the plane motion."""
+    st = _two_plane_stepper()
+    st.hs_origin[0] = np.array([-0.04, 0, 0.0])
+    st.hs_origin[1] = np.array([0.04, 0, 0.0])
+    probe = np.zeros((1, 3))
+    st._step_aco(probe)
+    assert st.script.aco_vel[0][0] == -1.0
+    assert st.script.aco_vel[1][0] == 1.0
+    assert not np.any(st.hs_veldt)  # squash leaves velocitydt zero
+
+    st2 = _two_plane_stepper("squashshear", fric=0.5)
+    st2.hs_origin[0] = np.array([-0.3, 0, 0.0])
+    st2.hs_origin[1] = np.array([0.3, 0, 0.0])
+    st2._step_aco(probe)
+    assert np.all(st2.script.aco_vel[0] == 0.0)
+    np.testing.assert_allclose(st2.script.aco_vel[1], [0.0, 1.0, 0.0])
+    np.testing.assert_allclose(st2.hs_veldt[1], [0.0, st2.dt, 0.0])
+    # the captured friction state carries the plane displacement
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.asarray(st2.mesh.x_rest))
+    fric = st2._capture_friction(x, x, st2.suggest_kappa(st2.dHat), st2.dHat, None)
+    assert fric["hs_veldt"][0] is None
+    assert fric["hs_veldt"][1] is not None
+
+
+def test_moving_plane_friction_drags():
+    """A plane sliding tangentially under a resting block drags it along
+    through the lagged friction (velocitydt in the relative displacement,
+    reference HalfSpace.cpp:286)."""
+    import jax.numpy as jnp
+
+    V, T = cube(1)
+    V = V + np.array([0.0, 0.002, 0.0])  # resting just above the plane
+    mesh, meta = build_mesh(V, T)
+    hs = HalfSpace(HalfSpaceParams(origin=(0, 0, 0), normal=(0, 1, 0), friction=0.8))
+    st = IPCStepper(mesh, meta, SimParams(), halfspaces=[hs])
+    x = jnp.asarray(np.asarray(mesh.x_rest))
+    kappa = st.suggest_kappa(st.dHat)
+    fric = st._capture_friction(x, x, kappa, st.dHat, None)
+    lam = fric["hs"][0]
+    assert float(jnp.max(lam)) >= 0.0
+    # make the bottom vertices active regardless of dHat band
+    m = hs.active_mask(x[st._sv], st.dHat)
+    if not bool(jnp.any(m)):
+        # shift into the band
+        V2 = np.asarray(mesh.x_rest).copy()
+        V2[:, 1] -= 0.0019
+        x = jnp.asarray(V2)
+        fric = st._capture_friction(x, x, kappa, st.dHat, None)
+    veldt = jnp.asarray([0.05, 0.0, 0.0])
+    g_static = hs.friction_grad_sv(x[st._sv], x[st._sv], fric["hs"][0], fric["eps2"])
+    g_moving = hs.friction_grad_sv(
+        x[st._sv], x[st._sv], fric["hs"][0], fric["eps2"], veldt=veldt
+    )
+    # zero relative slip -> zero force; plane sliding +x -> force pulls +x
+    assert float(jnp.abs(g_static).max()) == 0.0
+    if float(jnp.max(fric["hs"][0])) > 0.0:
+        assert float(g_moving[:, 0].min()) < 0.0  # gradient of E points -x force...
+    # energy decreases when the block follows the plane
+    E_stay = hs.friction_energy(x[st._sv], x[st._sv], fric["hs"][0], fric["eps2"], veldt=veldt)
+    E_follow = hs.friction_energy(
+        x[st._sv] + veldt[None, :], x[st._sv], fric["hs"][0], fric["eps2"], veldt=veldt
+    )
+    assert float(E_follow) <= float(E_stay) + 1e-12
+
+
 def test_dense_direct_solver_matches_pcg():
     """linsys=dense (the CHOLMOD/EigenLibSolver-role exact solve) must give
     the same trajectory as the matrix-free PCG within solver tolerance."""
@@ -135,3 +249,36 @@ def test_dense_direct_solver_matches_pcg():
         assert np.isfinite(xs[linsys]).all()
     err = np.abs(xs["dense"] - xs["pcg"]).max()
     assert err < 2e-3, err
+
+
+def test_sparse_direct_solver_matches_dense():
+    """linsys=sparse (SuperLU host callback, the CHOLMOD-role solver at
+    medium scale) is an EXACT solve like dense — trajectories must agree to
+    factorization roundoff, and both stay finite with self-contact on."""
+    import numpy as np
+    from ipc_tpu.contact.halfspace import HalfSpace, HalfSpaceParams
+    from ipc_tpu.contact.pipeline import SelfContact
+    from ipc_tpu.mesh import build_mesh, merge_meshes
+    from ipc_tpu.models.primitives import cube
+    from ipc_tpu.timestepper import IPCStepper, SimParams
+
+    V1, T1 = cube(2)
+    V1 = V1 + np.array([0.0, 0.002, 0.0])
+    V2, T2 = cube(2)
+    V2 = V2 + np.array([0.0, 1.15, 0.0])
+    V, T, comp, ranges = merge_meshes([(V1, T1), (V2, T2)])
+    xs = {}
+    for linsys in ("dense", "sparse"):
+        mesh, meta = build_mesh(V, T, vert_comp=comp, comp_ranges=ranges)
+        st = IPCStepper(
+            mesh, meta, SimParams(linsys=linsys),
+            halfspaces=[HalfSpace(HalfSpaceParams(friction=0.2))],
+            self_contact=SelfContact(mesh, meta, friction=0.1),
+        )
+        state = st.initial_state()
+        for _ in range(4):
+            state, _ = st.step(state)
+        xs[linsys] = np.asarray(state.x)
+        assert np.isfinite(xs[linsys]).all()
+    err = np.abs(xs["sparse"] - xs["dense"]).max()
+    assert err < 1e-6, err

@@ -50,9 +50,13 @@ def run_one(path, n_steps, budget):
     tets = np.asarray(mesh.tets)
     t0 = time.perf_counter()
     done = 0
+    doublings = backtracks = newton_total = 0
     for k in range(n_steps):
-        state, _ = sim.stepper.step(state)  # scripted motion runs inside
+        state, st_stats = sim.stepper.step(state)  # scripted motion inside
         done += 1
+        doublings += getattr(st_stats, "kappa_doublings", 0)
+        backtracks += getattr(st_stats, "intersection_backtracks", 0)
+        newton_total += getattr(st_stats, "iters", 0)
         if time.perf_counter() - t0 > budget:
             break
     secs = time.perf_counter() - t0
@@ -66,7 +70,11 @@ def run_one(path, n_steps, budget):
     if sc is not None:
         hit, _ = sc.has_intersection(jnp.asarray(state.x))
         assert not bool(hit), "edge-triangle intersection at final state"
-    rec.update(steps=done, secs=round(secs, 2), status="PASS")
+    rec.update(
+        steps=done, secs=round(secs, 2), status="PASS",
+        newton_iters=newton_total, kappa_doublings=doublings,
+        intersection_backtracks=backtracks,
+    )
     return rec
 
 
