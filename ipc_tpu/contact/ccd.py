@@ -95,7 +95,50 @@ def accd_ee(x4, p4, slackness=0.2, max_iter=64):
 # floating-point error bound + minimum separation) straddles zero. The
 # earliest-root search is then a fixed-count bisection on t alone — no
 # (t,u,v) subdivision stack, so it vmaps over the whole candidate tensor.
+#
+# SEPARATION-ALIGNED FRAME: q = 0 iff R q = 0 for any rotation R, and R q
+# is still affine in (t, u, v), so its per-coordinate range over a cell is
+# still spanned by the rotated corner evaluations — the box test stays
+# sound under ANY fixed rotation. Tightness, however, depends on the frame:
+# in world axes a tangential slide at constant clearance d0 mixes the
+# separation into all three coordinates and the box straddles zero (the
+# t-only bisection then crawls — the reference works around the same
+# looseness with its no_zero_toi / 0.8x-ms retry chain,
+# SelfCollisionHandler.cpp:1447-1471). Aligning one axis of R with the
+# INITIAL separation direction keeps that coordinate pinned near d0 for
+# sliding contacts, so the whole interval is certified root-free in one
+# test. The frame comes from the gradient of the squared-distance kernel
+# (the exact separation direction at t=0) and costs one 3x3 basis per pair.
 # ---------------------------------------------------------------------------
+
+
+def _sep_frame(x4, kind):
+    """Rotation (3,3) whose FIRST row is the initial separation direction.
+
+    PT: grad of d2 w.r.t. the point = 2 (p - closest_point) — the separation
+    direction whenever d0 > 0. EE: grad w.r.t. (a0 + a1) = 2 (ca - cb)
+    collapsed over the barycentric weights. Falls back to the identity when
+    the gradient vanishes (touching/degenerate) — still sound."""
+    if kind == "pt":
+        g = jax.grad(lambda p: D.point_triangle_dist2(p, x4[1], x4[2], x4[3]))(x4[0])
+    else:
+        g = jax.grad(
+            lambda a: D.edge_edge_dist2(a[0], a[1], x4[2], x4[3])
+        )(x4[:2]).sum(axis=0)
+    n = jnp.linalg.norm(g)
+    ok = n > 1e-30
+    e0 = jnp.where(ok, g / jnp.where(ok, n, 1.0), jnp.asarray([1.0, 0.0, 0.0], x4.dtype))
+    # any orthonormal completion (branch-free Gram-Schmidt on the less
+    # aligned coordinate axis)
+    a = jnp.where(
+        jnp.abs(e0[0]) < 0.9,
+        jnp.asarray([1.0, 0.0, 0.0], x4.dtype),
+        jnp.asarray([0.0, 1.0, 0.0], x4.dtype),
+    )
+    e1 = a - (a @ e0) * e0
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-30)
+    e2 = jnp.cross(e0, e1)
+    return jnp.stack([e0, e1, e2])
 
 
 def _ti_corner_evals(x4, p4, t, kind):
@@ -108,12 +151,15 @@ def _ti_corner_evals(x4, p4, t, kind):
     return jnp.stack([y[0] - y[2], y[0] - y[3], y[1] - y[2], y[1] - y[3]])
 
 
-def _ti_root_free(x4, p4, ta, tb, ms, err, kind):
+def _ti_root_free(x4, p4, ta, tb, ms, err, kind, R=None):
     """True when [ta,tb] provably contains NO root (per-coordinate box of
-    q, inflated by ms+err, excludes 0)."""
+    R q, inflated by ms+err, excludes 0). R (3,3) is the separation-aligned
+    frame (sound for any rotation; None = world axes)."""
     qa = _ti_corner_evals(x4, p4, ta, kind)
     qb = _ti_corner_evals(x4, p4, tb, kind)
     q = jnp.concatenate([qa, qb])  # (2K,3)
+    if R is not None:
+        q = q @ R.T
     lo = q.min(axis=0) - (ms + err)
     hi = q.max(axis=0) + (ms + err)
     return jnp.any((lo > 0.0) | (hi < 0.0))
@@ -133,16 +179,20 @@ def _ti(x4, p4, kind, t_max=1.0, ms=0.0, max_iter=32):
     )
     m = jnp.maximum(jnp.abs(x4).max(), jnp.abs(x4 + p4).max())
     m = jnp.maximum(m, 1.0)
-    err = 12.0 * eps * m * m
+    # 2x on top of the reference-form bound absorbs the extra rounding of
+    # the frame rotation (rows are unit vectors: no magnitude growth)
+    err = 24.0 * eps * m * m
+
+    R = _sep_frame(x4, kind)
 
     t_max = jnp.asarray(t_max, dtype)
     # quick accept: whole interval root-free
-    free_all = _ti_root_free(x4, p4, jnp.asarray(0.0, dtype), t_max, ms, err, kind)
+    free_all = _ti_root_free(x4, p4, jnp.asarray(0.0, dtype), t_max, ms, err, kind, R)
 
     def body(_, c):
         lo, hi = c
         mid = 0.5 * (lo + hi)
-        first_free = _ti_root_free(x4, p4, lo, mid, ms, err, kind)
+        first_free = _ti_root_free(x4, p4, lo, mid, ms, err, kind, R)
         lo_new = jnp.where(first_free, mid, lo)
         hi_new = jnp.where(first_free, hi, mid)
         return lo_new, hi_new
