@@ -113,6 +113,10 @@ class Script:
     aco_vel: object = None  # (n_planes, 3) float array, mutated by flips
     init_velocity_fn: object = None  # (V,3) -> (V,3)
     x0_transform: object = None  # rest V -> initial positions (scaleF etc.)
+    # AST_FALL / AST_FALL_NOSHIFT call resetDBCVertices (reference
+    # AnimScripter.cpp:779-788): the scene's per-shape DBC selections are
+    # cleared so the object actually falls (codim kinematic verts stay)
+    clear_shape_dbc: bool = False
     dbc_time_range: tuple = (0.0, math.inf)
     nbc_time_range: tuple = (0.0, math.inf)
 
@@ -601,7 +605,9 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
                 TurningRule(vert=tp, axis=0, lo=V[tp, 0] - 0.8, hi=V[tp, 0] + 0.4,
                             action="flip_band", group_ids=(0, 1))
             )
-    elif name_l == "stretchnpause":
+    elif name_l in ("stretchnpause", "stretchandpause"):
+        # the reference's config string for AST_STRETCHNPAUSE is
+        # "stretchAndPause" (AnimScripter.cpp:37) — accept both spellings
         left = sel(V[:, 0] < lo[0] + rng[0] * 0.01)
         right = sel(V[:, 0] > hi[0] - rng[0] * 0.01)
         sc.dbc_groups.append(DBCGroup(left, np.array([-1.0, 0.0, 0.0])))
@@ -730,14 +736,22 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
         sc.nbc_groups.append(
             NBCGroup(sel(V[:, 1] > hi[1] - rng[1] * 0.05), np.array([s, 0.0, 0.0]))
         )
-    elif name_l == "utopia_comparison":
+    elif name_l in ("fall", "fallnoshift"):
+        # AST_FALL lifts by half the bbox diagonal; both variants clear the
+        # scene's shape DBC (reference AnimScripter.cpp:779-788)
+        if name_l == "fall":
+            shift = np.array([0.0, 0.5 * float(np.linalg.norm(rng)), 0.0])
+            sc.x0_transform = lambda Vx: Vx + shift[None, :]
+        sc.clear_shape_dbc = True
+    elif name_l in ("utopia_comparison", "utopiacomparison"):
         # note: the reference gates BOTH selections on range[0] (the
         # x-extent) — ported verbatim (AnimScripter.cpp:1285-1300)
         sc.dbc_groups.append(DBCGroup(sel(V[:, 1] < lo[1] + rng[0] * 1e-4)))
         sc.nbc_groups.append(
             NBCGroup(sel(V[:, 1] > hi[1] - rng[0] * 1e-4), np.array([0.0, -1.5, 0.0]))
         )
-    elif name_l in ("dcofix", "dcoballhitwall", "meshseq_fromfile"):
+    elif name_l in ("dcofix", "dcoballhitwall", "meshseq_fromfile",
+                    "meshseqfromfile"):
         # fix every codimensional component (reference AST_DCOFIX /
         # AST_DCOBALLHITWALL / AST_MESHSEQ_FROMFILE share the selection)
         for ci, (s0, s1) in enumerate(comp_ranges):

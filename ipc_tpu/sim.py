@@ -173,7 +173,16 @@ def assemble(cfg: Config, dtype=np.float64):
     # fold the script's DBC selection into the mesh (codim verts already DBC)
     import jax.numpy as jnp
 
-    dbc = np.asarray(mesh.dbc_mask) | script.dbc_mask()
+    dbc_mesh = np.asarray(mesh.dbc_mask)
+    if script.clear_shape_dbc:
+        # AST_FALL* resetDBCVertices: drop the scene's shape-DBC selections
+        # but keep codimensional kinematic components pinned
+        keep = np.zeros_like(dbc_mesh)
+        for ci, (s0, s1) in enumerate(comp_ranges_scene):
+            if comp_codim[ci] < 3:
+                keep[s0:s1] = True
+        dbc_mesh = dbc_mesh & keep
+    dbc = dbc_mesh | script.dbc_mask()
     mesh = __import__("dataclasses").replace(mesh, dbc_mask=jnp.asarray(dbc))
     return mesh, meta, script
 

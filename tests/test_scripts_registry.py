@@ -119,3 +119,58 @@ def test_dco_scripts_select_codim():
     assert dbc[n // 2 :].all() and not dbc[: n // 2].any()
     sc = build_script("dcosqueezeout", V, sm, ranges, comp_codim=[2, 2])
     assert np.any(sc.dbc_groups[0].linear_vel != 0)
+
+
+# the reference's EXACT config-string list (AnimScripter.cpp:33-51) — every
+# name must resolve to a real branch, not the "treating as null" fallback
+REFERENCE_STRINGS = [
+    "null", "scaleF", "hang", "hang2", "hangTopLeft", "hangLeft", "swing",
+    "stamp", "stampTopLeft", "stampBoth", "undstamp", "stampInv",
+    "stand", "standInv", "topbottomfix", "fixLowerHalf",
+    "corner", "push", "tear", "upndown", "stretch", "stretchAndPause",
+    "squash", "stretchnsquash",
+    "bend", "twist", "twistnstretch", "twistnsns", "twistnsns_old",
+    "rubberBandPull", "fourLegPull", "headTailPull",
+    "onepoint", "random", "fall", "fallNoShift", "dragdown", "dragright",
+    "toggleTop",
+    "leftHitRight", "drop", "XYRotate", "curtain",
+    "fixRightMost1", "pushRightMost1",
+    "NMFixBottomDragLeft", "NMFixBottomDragForward",
+    "ACOSquash", "ACOSquash6", "ACOSquashShear",
+    "MCOSquash", "MCORotSquash", "MCORotCylinders",
+    "DCORotCylinders", "DCOSquash", "DCOSquash6", "DCOFix",
+    "DCOSegBedSquash", "DCOBallHitWall",
+    "DCOSqueezeOut", "DCOVerschoorRoller", "DCOHammerWalnut", "DCOCut",
+    "utopiaComparison", "meshSeqFromFile",
+]
+
+
+def test_every_reference_config_string_resolves():
+    import warnings
+
+    from ipc_tpu.models.primitives import cube
+
+    V, _T = cube(2)
+    sm = np.ones(len(V), bool)
+    unresolved = []
+    for name in REFERENCE_STRINGS:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            build_script(name, V, sm, [(0, len(V))])
+        if any("not implemented" in str(x.message) for x in w):
+            unresolved.append(name)
+    assert not unresolved, unresolved
+
+
+def test_fall_scripts_clear_shape_dbc():
+    """AST_FALL lifts by half the bbox diagonal and clears shape DBC;
+    fallNoShift only clears (reference AnimScripter.cpp:779-788)."""
+    V, sm = _scene()
+    sc = build_script("fall", V, sm, [(0, len(V))])
+    assert sc.clear_shape_dbc
+    x0 = sc.x0_transform(V.copy())
+    lift = x0[:, 1] - V[:, 1]
+    diag = np.linalg.norm(V.max(0) - V.min(0))
+    np.testing.assert_allclose(lift, 0.5 * diag, rtol=1e-12)
+    sc2 = build_script("fallNoShift", V, sm, [(0, len(V))])
+    assert sc2.clear_shape_dbc and sc2.x0_transform is None
