@@ -10,9 +10,18 @@ Per scene (host path, f64 on CPU):
     monotone (enforced inside the solver; a blow-up raises).
 
 Writes one line per scene:  name  verts/tets  steps-done  secs  PASS/FAIL/SKIP
-and a machine-readable JSON table to --out (default /tmp/paper_battery.json).
+and a machine-readable JSON table to --out (default /tmp/paper_battery.json),
+updated incrementally after every scene.
+
+Each scene runs in its own subprocess under a HARD wall-clock timeout
+(--budget bounds the whole scene, not just the gap between steps — a single
+Newton solve on a 100K-tet f64 CPU scene can run for hours otherwise);
+timeouts record status TIMEOUT with whatever per-step progress the child
+reported. The sweep covers the top-level paper scenes, the 11_erleben
+contact-ordering suite, and two 21_scalability sizes.
 
 Usage: python tools/paper_battery.py [--steps N] [--budget SECS] [--only substr]
+       python tools/paper_battery.py --one <scene.txt> --steps N   (child mode)
 """
 
 import argparse
@@ -47,6 +56,10 @@ def run_one(path, n_steps, budget):
     state = sim.initial_state()
     sim._check_initial_feasibility(state)
 
+    # invariant check + per-step progress marker (the parent parses PROG
+    # lines to salvage partial evidence from a timed-out child)
+    print(f"PROG {json.dumps({k: rec[k] for k in ('verts', 'tets')})}", flush=True)
+
     tets = np.asarray(mesh.tets)
     t0 = time.perf_counter()
     done = 0
@@ -57,6 +70,8 @@ def run_one(path, n_steps, budget):
         doublings += getattr(st_stats, "kappa_doublings", 0)
         backtracks += getattr(st_stats, "intersection_backtracks", 0)
         newton_total += getattr(st_stats, "iters", 0)
+        print(f"PROG {json.dumps(dict(step=done, secs=round(time.perf_counter() - t0, 1)))}",
+              flush=True)
         if time.perf_counter() - t0 > budget:
             break
     secs = time.perf_counter() - t0
@@ -78,45 +93,94 @@ def run_one(path, n_steps, budget):
     return rec
 
 
+def _scene_list(only=""):
+    scenes = sorted(glob.glob(os.path.join(SCENES_DIR, "*.txt")))
+    scenes += sorted(glob.glob(os.path.join(SCENES_DIR, "11_erleben", "*.txt")))
+    scenes += [
+        os.path.join(SCENES_DIR, "21_scalability", "mat40x40_twist.txt"),
+        os.path.join(SCENES_DIR, "21_scalability", "armadillo13K_twist.txt"),
+    ]
+    if only:
+        scenes = [s for s in scenes if only in s]
+    return scenes
+
+
+def _scene_key(path):
+    rel = os.path.relpath(path, SCENES_DIR)
+    return rel.replace(os.sep, "/")
+
+
+def _child(args):
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rec = run_one(args.one, args.steps, args.budget)
+    except Exception as e:
+        rec = {
+            "scene": os.path.basename(args.one),
+            "status": "FAIL",
+            "error": f"{type(e).__name__}: {e}",
+            "trace": traceback.format_exc(limit=6),
+        }
+    print("RESULT " + json.dumps(rec), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--budget", type=float, default=240.0, help="per-scene secs")
     ap.add_argument("--only", default="")
     ap.add_argument("--out", default="/tmp/paper_battery.json")
+    ap.add_argument("--one", default="", help="(child) run a single scene")
     args = ap.parse_args()
+    if args.one:
+        _child(args)
+        return
 
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
-    import jax
+    import subprocess
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
-
-    scenes = sorted(glob.glob(os.path.join(SCENES_DIR, "*.txt")))
-    if args.only:
-        scenes = [s for s in scenes if args.only in s]
     results = []
-    for path in scenes:
-        name = os.path.basename(path)
+    for path in _scene_list(args.only):
+        name = _scene_key(path)
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--one", path,
+            "--steps", str(args.steps), "--budget", str(args.budget),
+        ]
+        rec = None
         try:
-            rec = run_one(path, args.steps, args.budget)
-        except Exception as e:
-            rec = {
-                "scene": name,
-                "status": "FAIL",
-                "error": f"{type(e).__name__}: {e}",
-                "trace": traceback.format_exc(limit=6),
-            }
+            cp = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=args.budget + 600,  # assembly+compile headroom
+            )
+            for line in cp.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[7:])
+            if rec is None:
+                rec = {
+                    "scene": name, "status": "FAIL",
+                    "error": f"child rc={cp.returncode}",
+                    "stderr": cp.stderr[-2000:],
+                }
+        except subprocess.TimeoutExpired as e:
+            prog = {}
+            for line in (e.stdout or "").splitlines():
+                if line.startswith("PROG "):
+                    prog.update(json.loads(line[5:]))
+            rec = {"scene": name, "status": "TIMEOUT", **prog}
+        rec["scene"] = name
         results.append(rec)
         print(
-            f"{name:32s} {rec.get('verts', '?'):>7}v {rec.get('tets', '?'):>8}t "
-            f"{rec.get('steps', 0):>3} steps {rec.get('secs', 0):>8}s  "
-            f"{rec['status']}"
+            f"{name:40s} {rec.get('verts', '?'):>7}v {rec.get('tets', '?'):>8}t "
+            f"{rec.get('steps', rec.get('step', 0)):>3} steps "
+            f"{rec.get('secs', 0):>8}s  {rec['status']}"
             + (f"  {rec.get('error', '')}" if rec["status"] == "FAIL" else ""),
             flush=True,
         )
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
     n_pass = sum(r["status"] == "PASS" for r in results)
     print(f"\n{n_pass}/{len(results)} scenes pass -> {args.out}")
 
