@@ -112,6 +112,7 @@ def test_ti_random_fuzz_vs_sampling():
         assert t <= t_true + 5e-3
 
 
+@pytest.mark.slow
 def test_solver_runs_with_ti(tmp_path):
     """End-to-end: a contact step with CCDMethod=ti stays intersection-free
     and close to the ACCD trajectory."""

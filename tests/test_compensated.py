@@ -8,6 +8,7 @@ machinery — the acceptance bar here is that the f32 stepper's energy
 agrees with the f64 oracle far beyond single-precision resolution.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -97,6 +98,7 @@ def _drop_stepper(dtype):
     )
 
 
+@pytest.mark.slow
 def test_f32_host_energy_matches_f64_oracle():
     """The f32 stepper's compensated objective agrees with the f64 oracle
     at the SAME state to ~f32-rounding of the INPUTS (each term rounds its

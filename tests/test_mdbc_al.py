@@ -3,6 +3,7 @@ switches to the penalty solve and squeezes through without intersecting
 (reference m_projectDBC/rho_DBC machinery, Optimizer.cpp:2168-2203 +
 AnimScripter.cpp:2284-2360)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def _press_scene(mdbc_al=True):
     return st, script, n1
 
 
+@pytest.mark.slow
 def test_blocked_press_triggers_al_and_squeezes():
     st, script, n1 = _press_scene()
     state = st.initial_state()

@@ -4,6 +4,7 @@ analog of the reference's tutorialExamples/2cubesFall smoke scenes
 never any interpenetration, settles inside the barrier band, comes to rest.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -251,6 +252,7 @@ def test_dense_direct_solver_matches_pcg():
     assert err < 2e-3, err
 
 
+@pytest.mark.slow
 def test_sparse_direct_solver_matches_dense():
     """linsys=sparse (SuperLU host callback, the CHOLMOD-role solver at
     medium scale) is an EXACT solve like dense — trajectories must agree to

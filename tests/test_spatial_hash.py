@@ -62,6 +62,7 @@ def test_et_parity_with_sweep():
     assert _pairset(dense) == _pairset(grid)
 
 
+@pytest.mark.slow
 def test_grid_solver_equivalence():
     """A contact-rich scene stepped with dense vs grid broad phase must
     produce identical trajectories (the candidate SETS are identical; the
