@@ -22,6 +22,11 @@ contact-ordering suite, and two 21_scalability sizes.
 
 Usage: python tools/paper_battery.py [--steps N] [--budget SECS] [--only substr]
        python tools/paper_battery.py --one <scene.txt> --steps N   (child mode)
+
+`--platform tpu --dtype f32` runs the battery in the production TPU config
+instead of the CPU-f64 oracle — same scenes, same invariants; use it for the
+large scenes (dolphinFunnel, scalability) that a 1-core f64 host can't
+finish inside any reasonable budget.
 """
 
 import argparse
@@ -37,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCENES_DIR = "/root/reference/input/paperExamples"
 
 
-def run_one(path, n_steps, budget):
+def run_one(path, n_steps, budget, dtype=None):
     import numpy as np
     import jax.numpy as jnp
 
@@ -45,7 +50,7 @@ def run_one(path, n_steps, budget):
     from ipc_tpu.sim import Simulation
 
     cfg = load_config(path)
-    sim = Simulation(cfg, dtype=np.float64)
+    sim = Simulation(cfg, dtype=dtype or np.float64)
     mesh = sim.mesh
     rec = {
         "scene": os.path.basename(path),
@@ -111,13 +116,21 @@ def _scene_key(path):
 
 
 def _child(args):
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    import numpy as np
+
+    if args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=1"
+        )
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = np.float64 if args.dtype == "f64" else np.float32
     try:
-        rec = run_one(args.one, args.steps, args.budget)
+        rec = run_one(args.one, args.steps, args.budget, dtype=dtype)
     except Exception as e:
         rec = {
             "scene": os.path.basename(args.one),
@@ -135,6 +148,8 @@ def main():
     ap.add_argument("--only", default="")
     ap.add_argument("--out", default="/tmp/paper_battery.json")
     ap.add_argument("--one", default="", help="(child) run a single scene")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
     args = ap.parse_args()
     if args.one:
         _child(args)
@@ -148,6 +163,7 @@ def main():
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", path,
             "--steps", str(args.steps), "--budget", str(args.budget),
+            "--platform", args.platform, "--dtype", args.dtype,
         ]
         rec = None
         try:
