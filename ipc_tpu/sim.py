@@ -104,8 +104,28 @@ def assemble(cfg: Config, dtype=np.float64):
     surface_mask = np.concatenate(boundary_masks)
     comp_ranges = vol_ranges
 
-    # `fall` scripts shift the whole scene up by half its bbox diagonal
-    # before anything else (reference AST_FALL, AnimScripter.cpp)
+    # global rotateModel
+    if cfg.rotate_model is not None:
+        from ipc_tpu.scripting import _axis_angle
+
+        axis, deg = cfg.rotate_model
+        R = _axis_angle(axis, np.radians(deg))
+        c = 0.5 * (V.min(axis=0) + V.max(axis=0))
+        V = (V - c) @ R.T + c
+
+    # global `size`: normalize the assembled deformable model so its max
+    # extent equals cfg.size, then shift its min corner to the origin —
+    # AFTER rotateModel, matching reference main.cpp:1141-1146. Kinematic
+    # meshCO/halfSpace geometry stays in world units (the reference scales
+    # only V/UV here; collision objects are placed post-normalization).
+    if cfg.size > 0.0:
+        ext = V.max(axis=0) - V.min(axis=0)
+        V = V * (cfg.size / float(ext.max()))
+        V = V - V.min(axis=0)
+
+    # `fall` scripts shift the whole scene up by half its (post-
+    # normalization) bbox diagonal (reference AST_FALL, AnimScripter.cpp —
+    # runs in the Optimizer ctor, i.e. AFTER main.cpp's rotate/size setup)
     script_name = cfg.script
     if script_name and script_name.lower() in ("fall", "fall_noshift"):
         if script_name.lower() == "fall":
@@ -116,15 +136,6 @@ def assemble(cfg: Config, dtype=np.float64):
                 if e["kind"] != "vol":
                     e["V"] = e["V"] + shift
         script_name = "null"
-
-    # global rotateModel
-    if cfg.rotate_model is not None:
-        from ipc_tpu.scripting import _axis_angle
-
-        axis, deg = cfg.rotate_model
-        R = _axis_angle(axis, np.radians(deg))
-        c = 0.5 * (V.min(axis=0) + V.max(axis=0))
-        V = (V - c) @ R.T + c
 
     # build the deformable mesh first so codimensional shapes can be
     # appended as kinematic surface geometry; compute each codim shape's

@@ -170,6 +170,8 @@ def main():
     ap.add_argument("--one", default="", help="(child) run a single scene")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
+    ap.add_argument("--resume", action="store_true",
+                    help="skip scenes already recorded in --out")
     args = ap.parse_args()
     if args.one:
         _child(args)
@@ -178,8 +180,15 @@ def main():
     import subprocess
 
     results = []
+    done = set()
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+        done = {r["scene"] for r in results}
     for path in _scene_list(args.only):
         name = _scene_key(path)
+        if name in done:
+            continue
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", path,
             "--steps", str(args.steps), "--budget", str(args.budget),
