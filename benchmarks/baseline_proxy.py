@@ -16,14 +16,19 @@ structure instead of an invented constant:
     the alternative solvers" — README.md Dependencies),
   * running on this machine's CPU (the reference is CPU-only).
 
-The dense Cholesky over-counts CHOLMOD's sparse factorization FLOPs, so
-the proxy is biased FAST on small scenes is wrong — dense O(n^3) is
-slower than sparse supernodal at these sizes; to avoid flattering the
-TPU number, the proxy also reports a "newton_iter_rate" (Newton
-iterations/s) and bench.py divides per-step costs honestly (see
-BASELINE.md "Proxy derivation" for the bias discussion).
+Solver variants (3rd arg, default "sparse"):
+  * "sparse" — SuperLU sparse-direct factorize+solve per Newton iteration
+    (solver/sparse_direct.py): a real C sparse factorization in the same
+    role as the reference's CHOLMOD (CHOLMODSolver.cpp:61-100). This is
+    the honest CHOLMOD-role denominator for bench.py's vs_baseline.
+  * "dense" — dense Cholesky. Dense O(n^3) is SLOWER than sparse
+    supernodal factorization at bench scale, so ratios against it are an
+    UPPER bound on the true vs-CHOLMOD speedup; kept for continuity with
+    the round-1/2 numbers.
+  * "pcg" — matrix-free PCG, identical algorithm to the TPU path:
+    isolates the hardware+precision speedup with the algorithm held fixed.
 
-Run: python benchmarks/baseline_proxy.py [n_cells] [n_steps]
+Run: python benchmarks/baseline_proxy.py [n_cells] [n_steps] [linsys]
 Prints one JSON line with steps/s + iters/s; paste the result into
 BASELINE.md and bench.py.
 """
@@ -39,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    linsys = sys.argv[3] if len(sys.argv) > 3 else "sparse"
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -53,10 +59,9 @@ def main():
     import __graft_entry__ as ge
 
     stepper = ge._build_scene(n_cells=n_cells, dtype=np.float64)
-    # direct factorize+solve per Newton iteration — the CHOLMOD role
     import dataclasses
 
-    stepper.p = dataclasses.replace(stepper.p, linsys="dense")
+    stepper.p = dataclasses.replace(stepper.p, linsys=linsys)
     stepper._build_kernels()
 
     state = stepper.initial_state()
@@ -75,7 +80,8 @@ def main():
     print(
         json.dumps(
             {
-                "proxy": "host f64 + dense direct solve (CHOLMOD role), CPU",
+                "proxy": f"host f64 + {linsys} solve per Newton iteration, CPU",
+                "linsys": linsys,
                 "n_cells": n_cells,
                 "tets": int(stepper.mesh.tets.shape[0]),
                 "n_steps": n_steps,

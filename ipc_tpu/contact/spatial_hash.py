@@ -165,43 +165,50 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None):
     return HashGrid(table, payload, origin, cell, H, K, overflow)
 
 
-def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap):
-    """Candidate (q, t) pairs whose exact AABBs overlap, each exactly once.
+# per-tile (rows x slots) element budget for the chunked query: bounds the
+# working set of the compaction sort and the payload gathers at ~tens of MB
+# regardless of scene size (the un-chunked (Q, 8K) expansion wanted 35.8 GB
+# at dolphinFunnel scale — 1.09M query edges x 64 slots x an 11-wide fused
+# sort operand TPU-tiled to minor-dim 128)
+_TILE_ELEMS = 1 << 22
 
-    valid_fn(q_rows (Q,), t_ids (Q,8K), extra (Q,8K,E)) -> bool mask of
-    admissible pairs (topology/DBC exclusions); q_rows must be indexed
-    per-row ((Q,1)-broadcast), never per-slot. Returns (pairs (cap,2)
-    int32 padded -1, true count, bucket overflow flag)."""
-    Q = q_boxes.shape[0]
+
+def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn):
+    """Candidate mask for ONE block of query rows.
+
+    q_boxes (B,2,3); q_rows (B,) GLOBAL row ids handed to valid_fn. Returns
+    (mask (B,row_cap) bool, t_idx (B,row_cap) int32, row_overflow scalar:
+    the K' needed so 3K' covers the fullest row)."""
     K = grid.K
+    B = q_boxes.shape[0]
     corner, q_i0, q_i1 = _corner_cells(q_boxes, grid.origin, grid.cell)
-    h = _cell_hash(corner, H=grid.H)  # (Q,8)
+    h = _cell_hash(corner, H=grid.H)  # (B,8)
     # dedup the reads by CELL COORDS only (two distinct corner cells with
     # colliding hashes must both be read: either could be a canonical cell)
     eqc = (corner[:, :, None, :] == corner[:, None, :, :]).all(-1)
     keep = jnp.argmax(eqc, axis=2) == jnp.arange(8)[None, :]
     cells = jnp.where(keep, h, grid.H)
-    cand = grid.table[cells].reshape(Q, 8 * K)  # (Q,8K) target ids, -1 empty
+    cand = grid.table[cells].reshape(B, 8 * K)  # (B,8K) target ids, -1 empty
     # row compaction: most slots are empty (-1), and every downstream cost
     # (payload gather, canonical/AABB tests, the nonzero scatter) scales
-    # with slot count — sort the valid slots to the front with a lane-wise
-    # bitonic sort (pure VPU work, no scatter) and keep 3K per row. The
-    # read-cell coords ride along as sort values; overflowing rows are
-    # reported through the bucket-overflow channel so grid_K (and with it
-    # 3K) grows and the build re-traces.
-    corner_rep = jnp.repeat(corner, K, axis=1)  # (Q,8K,3) read-cell coords
+    # with slot count — sort the valid SLOT IDS to the front (a 2-operand
+    # lane-wise bitonic sort; the old 5-operand sort materialized an
+    # 11-wide fused operand) and keep 3K per row; cand and the read-cell
+    # coords are then fetched by take-along/row gathers on the compacted
+    # (B, 3K) shape only. Overflowing rows are reported through the
+    # bucket-overflow channel so grid_K (and with it 3K) grows and the
+    # build re-traces.
     row_cap = min(3 * K, 8 * K)
     keys = (cand < 0).astype(jnp.int32)
-    _, cand, c0, c1, c2 = jax.lax.sort(
-        (keys, cand, corner_rep[..., 0], corner_rep[..., 1], corner_rep[..., 2]),
-        dimension=1, num_keys=1,
-    )
-    row_counts = jnp.sum(cand >= 0, axis=1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (B, 8 * K), 1)
+    _, sidx = jax.lax.sort((keys, slots), dimension=1, num_keys=1)
+    row_counts = jnp.sum(cand >= 0, axis=1, dtype=jnp.int32)
     row_overflow = (row_counts.max() + 2) // 3  # K' needed so 3K' >= rows
-    cand = cand[:, :row_cap]
-    corner_rep = jnp.stack(
-        [c0[:, :row_cap], c1[:, :row_cap], c2[:, :row_cap]], axis=-1
-    )
+    sidx = sidx[:, :row_cap]
+    cand = jnp.take_along_axis(cand, sidx, axis=1)
+    # read-cell coords of the compacted slots: slot s read corner s // K
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    corner_rep = corner[rows, sidx // K]  # (B,row_cap,3)
     t_idx = jnp.maximum(cand, 0)
     # ONE wide row gather fetches everything about each candidate target
     # (empty slots read the sentinel row, whose cells never match)
@@ -232,26 +239,96 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap):
     qlo = q_boxes[:, 0].astype(jnp.float32)[:, None, :]
     qhi = q_boxes[:, 1].astype(jnp.float32)[:, None, :]
     sep = jnp.any((qlo > tbox[..., 3:6]) | (tbox[..., 0:3] > qhi), axis=2)
-    q_rows = jnp.arange(Q, dtype=jnp.int32)
     mask = (cand >= 0) & at_canon & in_spans & ~sep
     mask = mask & valid_fn(q_rows, t_idx, pay[..., 8:])
-    count = mask.sum(dtype=jnp.int32)
-    # 1D nonzero: a 2D nonzero scatters one 147K-row coordinate array PER
-    # OUTPUT DIMENSION (measured as the dominant query cost); flattening
-    # emits a single scatter and the row/slot split is two cheap ops
-    S = mask.shape[1]
-    (flat,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
-    ok = flat >= 0
-    fi = jnp.maximum(flat, 0)
-    qi = fi // S
-    pairs = jnp.stack(
-        [
-            jnp.where(ok, qi, -1),
-            jnp.where(ok, t_idx.reshape(-1)[fi], -1),
-        ],
-        axis=1,
-    ).astype(jnp.int32)
-    return pairs, count, jnp.maximum(grid.overflow, row_overflow)
+    return mask, t_idx, row_overflow
+
+
+def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS):
+    """Candidate (q, t) pairs whose exact AABBs overlap, each exactly once.
+
+    valid_fn(q_rows (B,), t_ids (B,3K), extra (B,3K,E)) -> bool mask of
+    admissible pairs (topology/DBC exclusions); q_rows must be indexed
+    per-row ((B,1)-broadcast), never per-slot. Returns (pairs (cap,2)
+    int32 padded -1, true count, bucket overflow flag).
+
+    Memory scaling: when Q x 8K exceeds the tile budget, the query axis is
+    CHUNKED — fixed-size query tiles run sequentially under lax.fori_loop,
+    each compacting its hits into the shared (cap,2) output at a running
+    offset. HBM use is O(tile) + O(cap) instead of O(Q*K): this is what
+    lets reference-scale scenes (dolphinFunnel's 1.09M edge queries,
+    armadillo 122K/219K) fit a 16 GB chip. The reference hash achieves the
+    same bound host-side with dynamic per-voxel lists
+    (src/Utils/SpatialHash.hpp:46-201: output ~ occupied voxels)."""
+    Q = q_boxes.shape[0]
+    K = grid.K
+    slots = 8 * K
+    row_cap = min(3 * K, slots)
+    if Q * slots <= 2 * tile_elems:
+        q_rows = jnp.arange(Q, dtype=jnp.int32)
+        mask, t_idx, row_ov = _query_block(grid, q_boxes, q_rows, valid_fn)
+        count = mask.sum(dtype=jnp.int32)
+        # 1D nonzero: a 2D nonzero scatters one coordinate array PER OUTPUT
+        # DIMENSION (measured as the dominant query cost); flattening emits
+        # a single scatter and the row/slot split is two cheap ops
+        (flat,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
+        ok = flat >= 0
+        fi = jnp.maximum(flat, 0)
+        qi = fi // row_cap
+        pairs = jnp.stack(
+            [
+                jnp.where(ok, qi, -1),
+                jnp.where(ok, t_idx.reshape(-1)[fi], -1),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        return pairs, count, jnp.maximum(grid.overflow, row_ov)
+
+    # ---- chunked path ----
+    QB = max(256, tile_elems // slots)
+    n_tiles = -(-Q // QB)
+    pad = n_tiles * QB - Q
+    if pad:
+        # pad with copies of row 0; padded rows are masked by q_rows >= Q
+        qb = jnp.concatenate(
+            [q_boxes, jnp.broadcast_to(q_boxes[:1], (pad,) + q_boxes.shape[1:])]
+        )
+    else:
+        qb = q_boxes
+    tile_cap = min(cap, QB * row_cap)
+
+    def body(i, carry):
+        out, total, off, row_ov = carry
+        start = i * QB
+        blk = jax.lax.dynamic_slice_in_dim(qb, start, QB)
+        q_rows = start + jnp.arange(QB, dtype=jnp.int32)
+        mask, t_idx, ov = _query_block(grid, blk, q_rows, valid_fn)
+        mask = mask & (q_rows < Q)[:, None]
+        cnt = mask.sum(dtype=jnp.int32)
+        (flat,) = jnp.nonzero(mask.reshape(-1), size=tile_cap, fill_value=-1)
+        ok = flat >= 0
+        fi = jnp.maximum(flat, 0)
+        rows = jnp.stack(
+            [start + fi // row_cap, t_idx.reshape(-1)[fi]], axis=1
+        ).astype(jnp.int32)
+        # valid hits are packed at the front of `flat`; append them to the
+        # shared output at the running offset (writes past cap drop — the
+        # true count still records the overflow for the regrow protocol)
+        dst = jnp.where(ok, off + jnp.arange(tile_cap, dtype=jnp.int32), cap)
+        out = out.at[dst].set(rows, mode="drop")
+        return (
+            out,
+            total + cnt,
+            jnp.minimum(off + jnp.minimum(cnt, tile_cap), cap),
+            jnp.maximum(row_ov, ov),
+        )
+
+    out0 = jnp.full((cap, 2), -1, jnp.int32)
+    z = jnp.asarray(0, jnp.int32)
+    out, total, _, row_ov = jax.lax.fori_loop(
+        0, n_tiles, body, (out0, z, z, z)
+    )
+    return out, total, jnp.maximum(grid.overflow, row_ov)
 
 
 # ---------------------------------------------------------------------------

@@ -104,24 +104,49 @@ def assemble(cfg: Config, dtype=np.float64):
     surface_mask = np.concatenate(boundary_masks)
     comp_ranges = vol_ranges
 
-    # global rotateModel
+    # global rotateModel + `size` apply to the FULL scene: the reference
+    # appends codimensional (obj/seg) shapes into V during the shape loop
+    # (main.cpp:948-1014), BEFORE the rotate/size block, so codim kinematic
+    # geometry is rotated/scaled too and participates in the extent
+    # computation. Only meshCO/halfSpace stay in world units (placed
+    # post-normalization). We keep codim shapes out of the merged V until
+    # after build_mesh, so mirror the reference by transforming V and every
+    # codim entry's e['V'] with the same rotation/scale/shift.
+    codim = [e for e in entries if e["kind"] != "vol"]
+
+    def _scene_pts():
+        return np.concatenate([V] + [e["V"] for e in codim], axis=0)
+
     if cfg.rotate_model is not None:
         from ipc_tpu.scripting import _axis_angle
 
         axis, deg = cfg.rotate_model
         R = _axis_angle(axis, np.radians(deg))
-        c = 0.5 * (V.min(axis=0) + V.max(axis=0))
+        # the reference rotates about the HALF-EXTENT vector
+        # (maxCoeff-minCoeff)/2, not the bbox midpoint (main.cpp:1116-1119)
+        # — a pure translation difference that cancels when size>0 follows,
+        # but canonical for rotateModel scenes without size
+        P = _scene_pts()
+        c = 0.5 * (P.max(axis=0) - P.min(axis=0))
         V = (V - c) @ R.T + c
+        for e in codim:
+            e["V"] = (e["V"] - c) @ R.T + c
 
-    # global `size`: normalize the assembled deformable model so its max
-    # extent equals cfg.size, then shift its min corner to the origin —
-    # AFTER rotateModel, matching reference main.cpp:1141-1146. Kinematic
-    # meshCO/halfSpace geometry stays in world units (the reference scales
-    # only V/UV here; collision objects are placed post-normalization).
+    # global `size`: normalize the assembled model so its max extent equals
+    # cfg.size, then shift its min corner to the origin — AFTER rotateModel,
+    # matching reference main.cpp:1141-1146.
     if cfg.size > 0.0:
-        ext = V.max(axis=0) - V.min(axis=0)
-        V = V * (cfg.size / float(ext.max()))
-        V = V - V.min(axis=0)
+        P = _scene_pts()
+        s = cfg.size / float((P.max(axis=0) - P.min(axis=0)).max())
+        V = V * s
+        for e in codim:
+            e["V"] = e["V"] * s
+        lo = np.minimum(V.min(axis=0),
+                        np.min([e["V"].min(axis=0) for e in codim], axis=0)
+                        if codim else V.min(axis=0))
+        V = V - lo
+        for e in codim:
+            e["V"] = e["V"] - lo
 
     # `fall` scripts shift the whole scene up by half its (post-
     # normalization) bbox diagonal (reference AST_FALL, AnimScripter.cpp —

@@ -16,3 +16,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: this host has ONE cpu core, so XLA compiles
+# dominate test wall-clock; identical traces across runs (and across tests
+# in one run, via the in-memory cache) hit the disk cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -100,6 +100,52 @@ ground 0.1 0
         assert float(state.x[:, 1].min()) > 0.0
 
 
+class TestSizeNormalization:
+    def test_size_and_rotate_cover_codim_shapes(self, tmp_path):
+        """`size` / rotateModel must transform the WHOLE scene — volumetric
+        AND codimensional (obj) shapes — with the extent computed over both
+        (reference appends codim shapes into V before the rotate/size block,
+        main.cpp:948-1014 then :1116-1146)."""
+        from ipc_tpu.sim import assemble
+
+        cube_path = _write_cube_msh(str(tmp_path))
+        V, T = cube(1)
+        from ipc_tpu.mesh import _boundary_faces
+
+        obj_path = os.path.join(str(tmp_path), "plate.obj")
+        write_obj(obj_path, V, _boundary_faces(np.asarray(T, np.int64)))
+        scene = tmp_path / "scene.txt"
+        scene.write_text(
+            f"""energy FCR
+size 10
+rotateModel 0 0 1 90
+time 1 0.01
+density 1000
+stiffness 1e5 0.3
+script null
+shapes input 2
+{cube_path} 0 0 0  0 0 0  1 1 1
+{obj_path} 4 0 0  0 0 0  1 1 1
+"""
+        )
+        cfg = load_config(str(scene))
+        mesh, meta, script = assemble(cfg, dtype=np.float64)
+        x = np.asarray(mesh.x_rest)
+        ext = x.max(axis=0) - x.min(axis=0)
+        # full-scene max extent normalized to `size`, min corner at origin
+        np.testing.assert_allclose(ext.max(), 10.0, rtol=1e-12)
+        np.testing.assert_allclose(x.min(axis=0), 0.0, atol=1e-12)
+        # pre-transform the codim plate sits 4 units +x of the cube; after a
+        # 90° z-rotation that offset points +y; scale = 10/5 (full extent 5
+        # along x: cube [0,1] + plate [4,5]) so the plate center must sit
+        # 8 units ABOVE the cube center in y and match in x
+        nvol = 8  # cube verts
+        c_vol = x[:nvol].mean(axis=0)
+        c_codim = x[nvol:].mean(axis=0)
+        np.testing.assert_allclose(c_codim[1] - c_vol[1], 8.0, atol=1e-9)
+        np.testing.assert_allclose(c_codim[0], c_vol[0], atol=1e-9)
+
+
 class TestMeshCO:
     def test_cube_rests_on_kinematic_plate(self, tmp_path):
         # deformable cube dropped onto a kinematic triangulated plate

@@ -62,6 +62,28 @@ def test_et_parity_with_sweep():
     assert _pairset(dense) == _pairset(grid)
 
 
+def test_chunked_query_matches_single_shot():
+    """The query-axis-tiled path (what reference-scale scenes hit) must
+    return exactly the same pair SET and count as the single-shot path."""
+    mesh, meta = _scene()
+    x = mesh.x_rest
+    cap = 400000
+    gap = 0.03
+    K = 64
+    vb = BP.vert_aabbs(x, mesh.surf_verts, None, gap)
+    tb = BP.tri_aabbs(x, mesh.surf_tris, None, gap)
+    geom = SH.grid_geometry(vb, tb)
+    grid = SH.build_grid(tb, SH._default_H(tb.shape[0]), K, geom=geom,
+                         extra=SH._tri_extra(mesh.surf_tris, mesh.dbc_mask))
+    vfn = SH._pt_valid(mesh.surf_verts, mesh.dbc_mask)
+    one, n_one, ov_one = SH.query_pairs(grid, vb, vfn, cap)
+    # tiny tile budget forces many tiles (QB = 256 floor)
+    tiled, n_tiled, ov_tiled = SH.query_pairs(grid, vb, vfn, cap, tile_elems=1)
+    assert int(n_one) == int(n_tiled)
+    assert _pairset(one) == _pairset(tiled)
+    assert int(ov_one) == int(ov_tiled)
+
+
 @pytest.mark.slow
 def test_grid_solver_equivalence():
     """A contact-rich scene stepped with dense vs grid broad phase must

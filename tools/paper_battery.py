@@ -210,10 +210,17 @@ def main():
                     "stderr": cp.stderr[-2000:],
                 }
         except subprocess.TimeoutExpired as e:
+            # TimeoutExpired.stdout is raw BYTES even under text=True
+            out = e.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
             prog = {}
-            for line in (e.stdout or "").splitlines():
+            for line in out.splitlines():
                 if line.startswith("PROG "):
-                    prog.update(json.loads(line[5:]))
+                    try:
+                        prog.update(json.loads(line[5:]))
+                    except json.JSONDecodeError:
+                        pass
             rec = {"scene": name, "status": "TIMEOUT", **prog}
         rec["scene"] = name
         results.append(rec)
