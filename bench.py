@@ -10,16 +10,21 @@ vs_baseline is a MEASURED proxy ratio (BASELINE.md "Proxy derivation"):
 the reference binary cannot be built here (zero egress), so the baseline
 is this repo's own host-path f64 stepper on the same scene on this
 machine's CPU — the reference's precision, cost structure (per-iteration
-constraint rebuild + assembly) and hardware class. Two proxies were
-measured on the driver CPU (2026-08-17, benchmarks/baseline_proxy.py):
+constraint rebuild + assembly) and hardware class. Three direct-solver
+proxies were measured on the driver CPU (benchmarks/baseline_proxy.py):
 
-  dense direct solve per Newton iter (CHOLMOD role): 0.0277 steps/s
-  matrix-free PCG (same algorithm as the TPU path):  see _BASELINES
+  dense Cholesky per Newton iter:          0.0277 steps/s (2026-08-17)
+  SuperLU sparse-direct (CHOLMOD role):    0.0237 steps/s (2026-08-19)
+  matrix-free PCG (algorithm-matched):     0.0174 steps/s (2026-08-17)
 
-vs_baseline divides by the FASTER (more conservative) proxy. Dense O(n^3)
-overstates sparse-CHOLMOD cost at this size, so the dense ratio is an
-upper bound; the PCG ratio isolates hardware+precision speedup with the
-algorithm held fixed.
+vs_baseline divides by the FASTEST measured proxy (dense, the most
+conservative denominator). At this size (18K DoF) BLAS3 dense Cholesky
+beats SuperLU's sparse factorization on this 1-core host, so the sparse
+measurement brackets rather than replaces it. Caveat stated plainly: a
+real multithreaded supernodal CHOLMOD on a modern desktop CPU would be
+faster than every proxy here — the ratio quantifies hardware+precision+
+algorithm combined against a single-core f64 direct-solver stepper, not
+a chip-vs-chip CHOLMOD comparison.
 
 Also reports achieved FLOPs (XLA cost analysis of the compiled step) and
 MFU against the chip's bf16 peak — an upper-bound denominator: IPC's
@@ -39,8 +44,9 @@ import numpy as np
 #   (PCG variant: same scene, linsys="pcg")         (algorithm-matched)
 # Scene: n_cells=8 two-box drop, 6144 tets, f64 host path.
 _BASELINES = {
-    "dense_f64_cpu_steps_per_sec": 0.02773,  # 36.1 s/step
-    "pcg_f64_cpu_steps_per_sec": 0.01736,  # 57.6 s/step
+    "dense_f64_cpu_steps_per_sec": 0.02773,  # 36.1 s/step (2026-08-17)
+    "sparse_superlu_f64_cpu_steps_per_sec": 0.0237,  # 42.2 s/step (2026-08-19)
+    "pcg_f64_cpu_steps_per_sec": 0.01736,  # 57.6 s/step (2026-08-17)
 }
 
 # bf16 systolic-array peak per chip (the conservative MFU denominator).

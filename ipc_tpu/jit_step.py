@@ -9,13 +9,17 @@ one jitted function with `lax.while_loop`s. One dispatch per time step, zero
 syncs; stats come back as a fixed-size struct.
 
 Differences from the host path (both intentional, documented for parity):
-  * adaptive-kappa DOUBLING (reference postLineSearch close-constraint
-    tracking) is not replicated inside the device loop; kappa is initialized
-    per step with suggestKappa + initKappa gradient balancing (the dominant
-    mechanism; doubling only fires in near-degenerate pinching scenes).
   * the Armijo line search and the intersection safeguard are merged into a
     single backtracking condition (the reference applies them sequentially,
     which accepts the same step sizes up to the halving grid).
+  * adaptive-kappa DOUBLING (reference postLineSearch close-constraint
+    tracking, Optimizer.cpp:2356-2446) runs INSIDE the device Newton loop:
+    kappa lives in the while_loop carry, and an iteration whose accepted
+    step lets any previously-close (d^2 < dTol) active constraint get
+    closer doubles kappa (clamped at 100x suggestKappa). The comparison is
+    pre-step vs post-step distances over the iteration's own compacted
+    line-search active set + analytic half-space distances — the same
+    same-constraint comparison the reference makes, expressed fixed-shape.
 
 Capacity overflow is reported in the returned stats (counts vs caps); the
 caller grows capacities between steps and re-traces, never mid-step.
@@ -47,6 +51,7 @@ class JitStepStats:
 
     newton_iters: Any
     kappa: Any
+    kappa_doublings: Any  # postLineSearch doublings inside the device loop
     dist_to_opt: Any
     pt_count: Any
     ee_count: Any
@@ -66,6 +71,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "newton_iters",
         "kappa",
+        "kappa_doublings",
         "dist_to_opt",
         "pt_count",
         "ee_count",
@@ -120,6 +126,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     target_gres = stepper.target_gres
     kappa_sug = stepper.suggest_kappa(dHat)
     kappa_max = 100.0 * kappa_sug
+    dTol = stepper.dTol  # "close constraint" threshold (dtol_rel^2 * diag^2)
     gravity = jnp.asarray(stepper.gravity)
     dbc = mesh.dbc_mask
     sv = mesh.surf_verts
@@ -479,6 +486,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         def body(c):
             x = c["x"]
             cand = c["cand"]
+            kappa = c["kappa"]
             # PCG warm start: successive Newton directions are highly
             # correlated, so seed with the previous one
             dx, g, pcg_iters, active_count = search_dir(
@@ -545,7 +553,46 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             from ipc_tpu.parallel.spmd import constrain as _cstr
 
             take = ~converged
+            # postLineSearch adaptive-kappa doubling (reference
+            # Optimizer.cpp:2356-2446): if an accepted step let any
+            # previously-close constraint (d^2 < dTol at x) get no farther,
+            # double kappa for the remaining iterations. Same-constraint
+            # pre/post comparison over this iteration's compacted active
+            # set + the analytic half-space distances (fixed shapes).
+            if p.adaptive_kappa and (ls_act is not None or stepper.halfspaces):
+                import ipc_tpu.contact.selfcollision as _SC
+
+                def _closer(xa, xb):
+                    got = jnp.asarray(False)
+                    if ls_act is not None:
+                        dp0, de0 = _SC.active_dist2(
+                            xa, ls_act.vids_p, ls_act.vids_e
+                        )
+                        dp1, de1 = _SC.active_dist2(
+                            xb, ls_act.vids_p, ls_act.vids_e
+                        )
+                        got |= jnp.any(
+                            ls_act.ok_p & (dp0 < dTol) & (dp1 <= dp0)
+                        )
+                        got |= jnp.any(
+                            ls_act.ok_e & (de0 < dTol) & (de1 <= de0)
+                        )
+                    for hs in stepper.halfspaces:
+                        h0 = hs.dist2(xa[sv])
+                        h1 = hs.dist2(xb[sv])
+                        got |= jnp.any((h0 < dTol) & (h1 <= h0))
+                    return got
+
+                double = accepted & take & _closer(x, x_new)
+                kappa_next = jnp.where(
+                    double, jnp.minimum(kappa * 2.0, kappa_max), kappa
+                )
+            else:
+                double = jnp.asarray(False)
+                kappa_next = kappa
             return dict(
+                kappa=kappa_next,
+                n_doubles=c["n_doubles"] + double.astype(jnp.int32),
                 x=_cstr(jnp.where(take, x_new, x)),
                 cand=cand_sweep,
                 dx=dx,
@@ -575,6 +622,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             )
 
         init = dict(
+            kappa=jnp.asarray(kappa, dtype),
+            n_doubles=jnp.asarray(0, jnp.int32),
             x=x,
             cand=cand0,
             dx=jnp.zeros_like(x),
@@ -682,7 +731,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         )
         stats = JitStepStats(
             newton_iters=out["k"],
-            kappa=jnp.asarray(kappa, dtype),
+            kappa=out["kappa"],
+            kappa_doublings=out["n_doubles"],
             dist_to_opt=out["dist"],
             pt_count=out["pt_count"],
             ee_count=out["ee_count"],

@@ -693,8 +693,13 @@ def build_script(name, V, surface_mask, comp_ranges, params=(), handle_ratio=0.0
                             action="stop", group_ids=(0, 1))
             )
     elif name_l in ("dragdown", "dragright"):
+        # reference AST_DRAGDOWN/RIGHT (AnimScripter.cpp:790-826): lift by
+        # half the bbox diagonal, resetDBCVertices, then grab the handle.
+        # The shift applies to result.V only — never to meshCO geometry
+        # (sim.initial_state restricts x0_transform to script-owned verts)
         shift = np.array([0.0, 0.5 * float(np.linalg.norm(rng)), 0.0])
         sc.x0_transform = lambda Vx: Vx + shift[None, :]
+        sc.clear_shape_dbc = True
         if name_l == "dragdown":
             grab = sel(
                 (V[:, 1] < lo[1] + rng[1] * 0.1)

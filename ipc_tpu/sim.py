@@ -248,6 +248,12 @@ class Simulation:
 
         vert_mu = None
         self.mesh_co_ranges = []
+        # verts the AnimScripter owns (reference result.V = deformable +
+        # codim shapes); meshCO verts appended below live OUTSIDE it, so
+        # script-level initial transforms (x0_transform: drag*/scaleF/fall
+        # families) must not touch them — the reference's MeshCO::V is a
+        # separate object that stepAnimScript never shifts
+        self.n_script_verts = meta.n_verts
         if cfg.mesh_cos:
             mu_parts = [np.zeros(meta.n_verts)]
             for co in cfg.mesh_cos:
@@ -385,8 +391,12 @@ class Simulation:
             # scripts that start from a transformed configuration (scaleF /
             # swing / *inv / onepoint / random / drag* families) keep the
             # rest shape and move only the initial positions (the reference
-            # mutates mesh.V after restTriInv is built — same semantics)
-            x0 = self.script.x0_transform(np.asarray(self.mesh.x_rest))
+            # mutates mesh.V after restTriInv is built — same semantics).
+            # Only the script-owned verts move; appended meshCO kinematic
+            # geometry stays where the scene placed it (see __init__).
+            x0 = np.asarray(self.mesh.x_rest).copy()
+            ns = getattr(self, "n_script_verts", x0.shape[0])
+            x0[:ns] = self.script.x0_transform(x0[:ns])
         return self.stepper.initial_state(x0=x0, v0=v0)
 
     def _check_initial_feasibility(self, state):

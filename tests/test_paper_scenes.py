@@ -65,3 +65,25 @@ def test_mat20_twist_scene():
     assert np.isfinite(x).all()
     # twisting: out-of-plane deflection grows
     assert np.abs(x[:, 2]).max() > 0.03
+
+
+def test_drag_script_shift_excludes_meshco():
+    """drag*/x0_transform scripts lift result.V by half the bbox diagonal but
+    must NOT move meshCO kinematic geometry (reference AnimScripter
+    AST_DRAGRIGHT shifts mesh.V only, AnimScripter.cpp:809-826; MeshCO::V is
+    a separate object). Regression: spikePlaneCO's plane was shifted along
+    with the spike, producing a false initial-intersection abort."""
+    from ipc_tpu.config import load_config
+    from ipc_tpu.sim import Simulation
+
+    cfg = load_config(f"{REF}/paperExamples/11_erleben/spikePlaneCO.txt")
+    sim = Simulation(cfg)
+    state = sim.initial_state()
+    x = np.asarray(state.x)
+    s0, s1 = sim.mesh_co_ranges[0]
+    # the plane.obj meshCO sits exactly where the scene placed it: y = 0.54
+    np.testing.assert_allclose(x[s0:s1, 1], 0.54, atol=1e-12)
+    # the spike was lifted by half its bbox diagonal (above the plane)
+    assert x[:s0, 1].min() > 0.54
+    # and the start state passes the reference's initial feasibility check
+    sim._check_initial_feasibility(state)

@@ -42,13 +42,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCENES_DIR = "/root/reference/input/paperExamples"
 
 
-def run_one(path, n_steps, budget, dtype=None):
+class SkipScene(Exception):
+    """Scene cannot run in this checkout (e.g. the reference repo does not
+    ship the mesh asset); recorded as SKIP, not FAIL."""
+
+
+def _check_assets(path):
+    """The reference checkout omits several large meshes (Armadillo 28K+,
+    mat150/225, sphere19K, squishy ball, cylinder.seg); detect up front."""
+    import re
+
+    with open(path) as f:
+        txt = f.read()
+    from ipc_tpu.config import _resolve
+
+    missing = []
+    for m in set(re.findall(r"input/\S+\.(?:msh|obj|seg|pts)", txt)):
+        r = _resolve(m, path)
+        if not os.path.exists(r) and not (
+            m.endswith(".seg") and os.path.exists(os.path.splitext(r)[0] + ".obj")
+        ):
+            missing.append(m)
+    if missing:
+        raise SkipScene(f"missing mesh asset(s) in reference checkout: {sorted(missing)}")
+
+
+def run_one(path, n_steps, budget, dtype=None, use_jit=False):
     import numpy as np
     import jax.numpy as jnp
 
     from ipc_tpu.config import load_config
     from ipc_tpu.sim import Simulation
 
+    _check_assets(path)
     cfg = load_config(path)
     sim = Simulation(cfg, dtype=dtype or np.float64)
     mesh = sim.mesh
@@ -61,6 +87,20 @@ def run_one(path, n_steps, budget, dtype=None):
     state = sim.initial_state()
     sim._check_initial_feasibility(state)
 
+    # the production TPU config steps through the fully-jitted path (one
+    # dispatch per step; the host path pays ~2 s per device sync through
+    # this environment's TPU tunnel) with the sim loop's capacity
+    # regrow-and-redo protocol; host-only scripts fall back
+    step_fn = None
+    if use_jit and not (sim.script is not None and sim.script.host_only()) \
+            and type(sim.stepper).__name__ == "IPCStepper":
+        from ipc_tpu.jit_step import make_jit_step
+
+        step_fn = make_jit_step(sim.stepper, donate=False)
+        rec["path"] = "jit"
+    else:
+        rec["path"] = "host"
+
     # invariant check + per-step progress marker (the parent parses PROG
     # lines to salvage partial evidence from a timed-out child)
     print(f"PROG {json.dumps({k: rec[k] for k in ('verts', 'tets')})}", flush=True)
@@ -70,11 +110,30 @@ def run_one(path, n_steps, budget, dtype=None):
     done = 0
     doublings = backtracks = newton_total = 0
     for k in range(n_steps):
-        state, st_stats = sim.stepper.step(state)  # scripted motion inside
+        if step_fn is not None:
+            prev_state = state
+            state, jstats = step_fn(state)
+            state, jstats, step_fn = sim._regrow_and_redo(
+                prev_state, state, jstats, step_fn
+            )
+            if (
+                sim.script is not None
+                and sim.script.has_motion()
+                and float(jstats.script_scale) < 1.0 - 1e-3
+            ):
+                # scripted motion blocked by contact -> host AL redo
+                state, st_stats = sim.stepper.step(prev_state)
+                newton_total += getattr(st_stats, "iters", 0)
+                doublings += getattr(st_stats, "kappa_doublings", 0)
+            else:
+                newton_total += int(jstats.newton_iters)
+                doublings += int(jstats.kappa_doublings)
+        else:
+            state, st_stats = sim.stepper.step(state)  # scripted motion inside
+            doublings += getattr(st_stats, "kappa_doublings", 0)
+            backtracks += getattr(st_stats, "intersection_backtracks", 0)
+            newton_total += getattr(st_stats, "iters", 0)
         done += 1
-        doublings += getattr(st_stats, "kappa_doublings", 0)
-        backtracks += getattr(st_stats, "intersection_backtracks", 0)
-        newton_total += getattr(st_stats, "iters", 0)
         print(f"PROG {json.dumps(dict(step=done, secs=round(time.perf_counter() - t0, 1)))}",
               flush=True)
         if time.perf_counter() - t0 > budget:
@@ -109,10 +168,9 @@ _PRIORITY = (
 def _scene_list(only=""):
     scenes = sorted(glob.glob(os.path.join(SCENES_DIR, "*.txt")))
     scenes += sorted(glob.glob(os.path.join(SCENES_DIR, "11_erleben", "*.txt")))
-    scenes += [
-        os.path.join(SCENES_DIR, "21_scalability", "mat40x40_twist.txt"),
-        os.path.join(SCENES_DIR, "21_scalability", "armadillo13K_twist.txt"),
-    ]
+    # every scalability size; ones whose mesh asset the reference checkout
+    # omits are recorded SKIP by _check_assets, keeping the table honest
+    scenes += sorted(glob.glob(os.path.join(SCENES_DIR, "21_scalability", "*.txt")))
     if only:
         scenes = [s for s in scenes if only in s]
 
@@ -150,7 +208,14 @@ def _child(args):
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.dtype == "f64" else np.float32
     try:
-        rec = run_one(args.one, args.steps, args.budget, dtype=dtype)
+        rec = run_one(args.one, args.steps, args.budget, dtype=dtype,
+                      use_jit=(args.platform == "tpu"))
+    except SkipScene as e:
+        rec = {
+            "scene": os.path.basename(args.one),
+            "status": "SKIP",
+            "reason": str(e),
+        }
     except Exception as e:
         rec = {
             "scene": os.path.basename(args.one),
@@ -170,6 +235,15 @@ def main():
     ap.add_argument("--one", default="", help="(child) run a single scene")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
+    ap.add_argument(
+        "--route", default="", choices=["", "auto", "cpu-only", "tpu-only"],
+        help="auto: small scenes -> CPU f64 oracle, large -> TPU f32 "
+        "production path (the 1-core f64 host cannot finish a 30K-tet "
+        "Newton solve inside any practical budget); cpu-only/tpu-only "
+        "run just that half of the split",
+    )
+    ap.add_argument("--route-bytes", type=int, default=150_000,
+                    help="mesh-bytes threshold for --route")
     ap.add_argument("--resume", action="store_true",
                     help="skip scenes already recorded in --out")
     args = ap.parse_args()
@@ -177,7 +251,18 @@ def main():
         _child(args)
         return
 
+    import re
     import subprocess
+
+    def scene_mesh_bytes(path):
+        with open(path) as f:
+            txt = f.read()
+        total = 0
+        for m in set(re.findall(r"input/\S+\.(?:msh|obj|seg|pts)", txt)):
+            p = os.path.join("/root/reference", m)
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+        return total
 
     results = []
     done = set()
@@ -189,10 +274,18 @@ def main():
         name = _scene_key(path)
         if name in done:
             continue
+        platform, dtype = args.platform, args.dtype
+        if args.route:
+            big = scene_mesh_bytes(path) > args.route_bytes
+            if args.route == "cpu-only" and big:
+                continue
+            if args.route == "tpu-only" and not big:
+                continue
+            platform, dtype = ("tpu", "f32") if big else ("cpu", "f64")
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", path,
             "--steps", str(args.steps), "--budget", str(args.budget),
-            "--platform", args.platform, "--dtype", args.dtype,
+            "--platform", platform, "--dtype", dtype,
         ]
         rec = None
         try:
@@ -223,6 +316,7 @@ def main():
                         pass
             rec = {"scene": name, "status": "TIMEOUT", **prog}
         rec["scene"] = name
+        rec.setdefault("config", f"{platform}-{dtype}")
         results.append(rec)
         print(
             f"{name:40s} {rec.get('verts', '?'):>7}v {rec.get('tets', '?'):>8}t "
