@@ -208,8 +208,9 @@ def _child(args):
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.dtype == "f64" else np.float32
     try:
+        use_jit = args.platform == "tpu" if args.jit == "auto" else args.jit == "on"
         rec = run_one(args.one, args.steps, args.budget, dtype=dtype,
-                      use_jit=(args.platform == "tpu"))
+                      use_jit=use_jit)
     except SkipScene as e:
         rec = {
             "scene": os.path.basename(args.one),
@@ -235,6 +236,14 @@ def main():
     ap.add_argument("--one", default="", help="(child) run a single scene")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
+    ap.add_argument(
+        "--jit", default="auto", choices=["auto", "on", "off"],
+        help="step through the fully-jitted path (one compiled program per "
+        "step). auto = on for TPU children; 'on' also covers CPU f32 runs "
+        "of mid-size scenes, where one ~2-min CPU compile beats thousands "
+        "of host-path dispatches (the axon tunnel's remote compile of the "
+        "same program takes 25-35 min regardless of scene size)",
+    )
     ap.add_argument(
         "--route", default="", choices=["", "auto", "cpu-only", "tpu-only"],
         help="auto: small scenes -> CPU f64 oracle, large -> TPU f32 "
