@@ -127,6 +127,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     kappa_sug = stepper.suggest_kappa(dHat)
     kappa_max = 100.0 * kappa_sug
     dTol = stepper.dTol  # "close constraint" threshold (dtol_rel^2 * diag^2)
+    scene_diag = float(np.sqrt(stepper.bbox_diag2))
     gravity = jnp.asarray(stepper.gravity)
     dbc = mesh.dbc_mask
     sv = mesh.surf_verts
@@ -496,6 +497,20 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             converged = (c["k"] > 0) & (dist < target_gres)
 
             alpha0 = feasible_alpha_local(x, dx)
+            # degenerate-sweep guard: on floppy geometry (a thin flat sheet
+            # has near-zero transverse stiffness and tiny lumped mass) the
+            # first Newton direction is legitimately scene-sized, passes
+            # the inversion filter at alpha~1, and sweeping the candidate
+            # AABBs by it inflates the shared hash cell until one bucket
+            # holds most primitives (mat100x100 regrew grid_K to 9e4,
+            # BATTERY_r3.json). The line search would reject such a step
+            # anyway, so start it where the sweep stays sane: max
+            # per-vertex travel <= diag/5 (extra Newton iterations instead
+            # of a degenerate broad phase).
+            max_travel = jnp.sqrt(jnp.max(jnp.sum(dx * dx, axis=1)))
+            alpha0 = jnp.minimum(
+                alpha0, 0.2 * scene_diag / jnp.maximum(max_travel, 1e-30)
+            )
             if sc is not None:
                 # ONE fused broad phase per iteration: the swept candidates
                 # carry the PT/EE barrier+CCD stencils AND the edge-triangle

@@ -506,9 +506,43 @@ class Simulation:
             grew |= sc.ensure_fric_cap(int(jstats.fric_count))
             if not grew:
                 break
+            self._check_capacity_budget(sc)
             step_fn = make_jit_step(self.stepper, donate=False)
             state, jstats = step_fn(prev_state)
         return state, jstats, step_fn
+
+    # regrown broad-phase state may not exceed this many bytes: past it the
+    # scene's geometry has degenerated (e.g. one huge swept box inflating
+    # the grid cell so a single bucket holds most primitives — the flat
+    # mat100x100 failure mode, BATTERY_r3.json) and requesting the memory
+    # would OOM opaquely; fail with the diagnosis instead
+    CAP_BUDGET_BYTES = 8 << 30
+
+    def _check_capacity_budget(self, sc):
+        """Project the regrown capacities' memory and refuse degenerate
+        growth with a diagnostic instead of an opaque huge allocation.
+
+        The dominant regrown structures: the (H+1, K) bucket tables of the
+        tri/edge grids, and the candidate/stencil tensors (pairs, CCD
+        stencils, 12x12 active blocks ~ 144 f32 per active row)."""
+        from ipc_tpu.contact.spatial_hash import _default_H
+
+        n_tris = int(self.mesh.surf_tris.shape[0])
+        n_edges = int(self.mesh.surf_edges.shape[0])
+        table = (_default_H(n_tris) + 1 + _default_H(n_edges) + 1) * sc.grid_K * 4
+        cand = (sc.cap_pt + sc.cap_ee + sc.cap_et) * (2 + 4) * 4
+        active = (sc.cap_act_pt + sc.cap_act_ee) * 144 * 4
+        total = table + cand + active
+        if total > self.CAP_BUDGET_BYTES:
+            raise RuntimeError(
+                f"broad-phase capacity regrowth exceeds the memory budget: "
+                f"grid tables {table >> 20} MiB (grid_K={sc.grid_K}), candidates "
+                f"{cand >> 20} MiB (pt={sc.cap_pt} ee={sc.cap_ee} et={sc.cap_et}), "
+                f"active blocks {active >> 20} MiB — degenerate sweep/contact "
+                f"geometry (a huge swept AABB inflating the hash cell, or a "
+                f"dense coplanar sheet); needs the hierarchical-grid broad "
+                f"phase, not more memory"
+            )
 
     def _run_loop(self, state, start, total, step_fn, logger, out_dir, save_every, verbose):
         self._last_state = state

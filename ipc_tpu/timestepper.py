@@ -1094,6 +1094,13 @@ class IPCStepper:
 
             # feasible step: inversion + half-space closed form + mesh ACCD
             alpha = float(self._feasible_step_local(x, dx, self._hs_D))
+            # degenerate-sweep guard (see jit_step newton body): floppy
+            # geometry yields scene-sized Newton directions whose swept
+            # AABBs inflate the hash cell until one bucket holds most
+            # primitives; start the line search at max travel <= diag/5
+            max_travel = float(jnp.sqrt(jnp.max(jnp.sum(dx * dx, axis=1))))
+            if max_travel > 0.0:
+                alpha = min(alpha, 0.2 * float(np.sqrt(self.bbox_diag2)) / max_travel)
             if self.sc is not None:
                 cand_ccd = self._candidates(x, disp=alpha * dx)
                 alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx, cand_ccd)) * alpha)
