@@ -171,6 +171,15 @@ class HalfSpace:
         dist = np.asarray(x_sv_np, float) @ n + (self._D if D is None else float(D))
         return float(min(1.0, slackness * dist.min() / coef))
 
+    def move_bound_t(self, x_sv, deltaX, D, slackness=0.5):
+        """Traced move_bound for the fully-jitted step's ACO plane motion
+        (same math; deltaX and D are traced)."""
+        n = jnp.asarray(self._n, x_sv.dtype)
+        coef = n @ deltaX
+        dist = x_sv @ n + D
+        s = jnp.minimum(1.0, slackness * dist.min() / jnp.where(coef > 0.0, coef, 1.0))
+        return jnp.where(coef <= 0.0, 1.0, s)
+
     # -- lagged friction ---------------------------------------------------
 
     def friction_lambda(self, x_sv, mask, kappa, dHat, D=None):

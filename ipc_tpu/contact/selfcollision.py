@@ -34,6 +34,8 @@ Reduction to the closest-point stencil is a static (9,4) slot table applied
 to the dType code.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -62,7 +64,13 @@ __all__ = [
 # slot tables: local indices into the original stencil for each dType code;
 # col 3 unused entries repeat slot 0 (harmless: the reduced ctype ignores them)
 # PT dtypes 0..6 (reference dType_PT codes)
-PT_SLOTS = jnp.array(
+# NOTE: these tables are deliberately NUMPY constants. Module-level
+# jnp arrays shared across independent jit traces get wrapped in
+# per-trace tracers by the constant machinery; a while_loop body that
+# closes over one can leak that tracer across traces
+# (UnexpectedTracerError int32[7], seen when two steppers trace in one
+# process). np constants are freshly staged per trace.
+PT_SLOTS = np.array(
     [
         [0, 1, 0, 0],  # 0: PP(p, t0)
         [0, 2, 0, 0],  # 1: PP(p, t1)
@@ -72,12 +80,12 @@ PT_SLOTS = jnp.array(
         [0, 3, 1, 0],  # 5: PE(p, t2, t0)
         [0, 1, 2, 3],  # 6: PT
     ],
-    jnp.int32,
+    np.int32,
 )
-PT_CTYPE = jnp.array([0, 0, 0, 1, 1, 1, 2], jnp.int32)
+PT_CTYPE = np.array([0, 0, 0, 1, 1, 1, 2], np.int32)
 
 # EE dtypes 0..8 (reference dType_EE codes); stencil (a0,a1,b0,b1)
-EE_SLOTS = jnp.array(
+EE_SLOTS = np.array(
     [
         [0, 2, 0, 0],  # 0: PP(a0, b0)
         [0, 3, 0, 0],  # 1: PP(a0, b1)
@@ -89,9 +97,9 @@ EE_SLOTS = jnp.array(
         [3, 0, 1, 0],  # 7: PE(b1, a0, a1)
         [0, 1, 2, 3],  # 8: EE
     ],
-    jnp.int32,
+    np.int32,
 )
-EE_CTYPE = jnp.array([0, 0, 1, 0, 0, 1, 1, 1, 3], jnp.int32)
+EE_CTYPE = np.array([0, 0, 1, 0, 0, 1, 1, 1, 3], np.int32)
 
 
 def _center(x4):
@@ -108,13 +116,13 @@ def pt_reduce(x4):
     """dType-classify a PT stencil -> (ctype, reduced stencil (4,3))."""
     x4 = _center(x4)
     dt = D.dtype_PT(x4[0], x4[1], x4[2], x4[3])
-    return PT_CTYPE[dt], x4[PT_SLOTS[dt]]
+    return jnp.asarray(PT_CTYPE)[dt], x4[jnp.asarray(PT_SLOTS)[dt]]
 
 
 def ee_reduce(x4):
     x4 = _center(x4)
     dt = D.dtype_EE(x4[0], x4[1], x4[2], x4[3])
-    return EE_CTYPE[dt], x4[EE_SLOTS[dt]]
+    return jnp.asarray(EE_CTYPE)[dt], x4[jnp.asarray(EE_SLOTS)[dt]]
 
 
 # ---------------------------------------------------------------------------
@@ -241,8 +249,8 @@ def capture_friction(x, pt_vids, pt_valid, ee_vids, ee_valid, ee_eps_x, kappa, d
 
     def one_pt(x4, vids4):
         dt = D.dtype_PT(x4[0], x4[1], x4[2], x4[3])
-        ct = PT_CTYPE[dt]
-        slots = PT_SLOTS[dt]
+        ct = jnp.asarray(PT_CTYPE)[dt]
+        slots = jnp.asarray(PT_SLOTS)[dt]
         xs = x4[slots]
         d2 = D.stencil_dist2(ct, xs)
         lam = -kappa * 2.0 * jnp.sqrt(jnp.maximum(d2, 0.0)) * barrier_grad(d2, dHat)
@@ -250,8 +258,8 @@ def capture_friction(x, pt_vids, pt_valid, ee_vids, ee_valid, ee_eps_x, kappa, d
 
     def one_ee(x4, vids4, eps_x):
         dt = D.dtype_EE(x4[0], x4[1], x4[2], x4[3])
-        ct = EE_CTYPE[dt]
-        slots = EE_SLOTS[dt]
+        ct = jnp.asarray(EE_CTYPE)[dt]
+        slots = jnp.asarray(EE_SLOTS)[dt]
         xs = x4[slots]
         d2 = D.stencil_dist2(ct, xs)
         c = D.ee_cross_sq_norm(x4[0], x4[1], x4[2], x4[3])

@@ -21,11 +21,27 @@ Differences from the host path (both intentional, documented for parity):
     line-search active set + analytic half-space distances — the same
     same-constraint comparison the reference makes, expressed fixed-shape.
 
+Scripted scenes run FULLY on device (reference AnimScripter state that the
+host path keeps in Python lives in SimState.aux instead):
+  * velocity turning points (reference velocityTurningPoints,
+    AnimScripter.cpp:1556-1808) are traced predicates whose sign/active
+    arrays persist in aux (scripting.DeviceTurning);
+  * ACO moving analytic planes (AST_ACOSQUASH/6/SHEAR,
+    AnimScripter.cpp:1832-1890) carry plane origins + velocities in aux;
+    every half-space kernel receives the current traced offset D;
+  * moving-DBC augmented Lagrangian (reference m_projectDBC + rho_DBC
+    machinery, Optimizer.cpp:2168-2203, AnimScripter.cpp:2302-2380) runs
+    inside the SAME Newton while_loop: when the CCD-clamped scripted motion
+    cannot complete, the loop starts with DBC rows unprojected and the AL
+    pull -sqrt(m) lam.(x-t) + rho/2 m |x-t|^2 active (lambda, rho, and the
+    AL-mode flag live in the carry); on completion the flag flips and the
+    remaining iterations run projected — one trace serves both modes.
+
 Capacity overflow is reported in the returned stats (counts vs caps); the
 caller grows capacities between steps and re-traces, never mid-step.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any
 
 import numpy as np
@@ -42,7 +58,7 @@ from ipc_tpu.timestepper import SimState
 
 _HI = jax.lax.Precision.HIGHEST
 
-__all__ = ["JitStepStats", "make_jit_step"]
+__all__ = ["JitStepStats", "initial_device_aux", "make_jit_step"]
 
 
 @dataclass(frozen=True)
@@ -64,6 +80,8 @@ class JitStepStats:
     script_scale: Any  # completed fraction of the scripted DBC motion
     bucket_overflow: Any  # max grid-bucket occupancy seen (grow sc.grid_K)
     fric_count: Any  # true active friction pairs (grow sc.cap_fric)
+    al_iters: Any  # Newton iterations spent in moving-DBC AL mode
+    sweep_clamps: Any  # iterations whose line-search start hit the span clamp
 
 
 jax.tree_util.register_dataclass(
@@ -84,9 +102,33 @@ jax.tree_util.register_dataclass(
         "script_scale",
         "bucket_overflow",
         "fric_count",
+        "al_iters",
+        "sweep_clamps",
     ],
     meta_fields=[],
 )
+
+
+def initial_device_aux(stepper):
+    """SimState.aux for the fully-jitted step: turning-rule state and moving
+    analytic-plane state, or None when the scene needs neither. Pass the
+    result to the first step's SimState (dataclasses.replace(state, aux=...));
+    the step returns the updated aux in its output state."""
+    from ipc_tpu.scripting import DeviceTurning
+
+    aux = {}
+    script = stepper.script
+    if script is not None and script.turning:
+        turn = DeviceTurning(
+            script.turning, len(script.dbc_groups), len(script.handles)
+        )
+        aux["turn_sign"], aux["turn_active"] = turn.init(stepper.dtype)
+    if getattr(stepper, "hs_moving", False):
+        aux["hs_origin"] = jnp.asarray(stepper.hs_origin, stepper.dtype)
+        aux["aco_vel"] = jnp.asarray(
+            np.asarray(stepper.script.aco_vel, float), stepper.dtype
+        )
+    return aux or None
 
 
 def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
@@ -148,12 +190,68 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     script = stepper.script
     if script is not None and script.host_only():
         raise ValueError(
-            "mesh-sequence / turning-point / moving-plane (ACO) scripted "
-            "scenes need the host path"
+            "mesh-sequence scripted scenes need per-frame file IO and the "
+            "host path"
         )
-    disp_fn, fext_fn = (
-        device_closures(script, dtype, dt) if script is not None else (None, None)
+    disp_fn, fext_fn, turn = (
+        device_closures(script, dtype, dt)
+        if script is not None
+        else (None, None, None)
     )
+    # moving analytic planes (reference ACO scripts): plane origins and
+    # velocities are traced state in SimState.aux; every half-space kernel
+    # below takes the current traced offset D
+    hs_moving = bool(getattr(stepper, "hs_moving", False))
+    n_hs = len(stepper.halfspaces)
+    hs_normals = (
+        np.stack([hs._n for hs in stepper.halfspaces])
+        if n_hs
+        else np.zeros((0, 3))
+    )
+    aco_kind = script.aco_kind if (script is not None and hs_moving) else None
+    # moving-DBC augmented-Lagrangian statics (reference Optimizer.cpp:
+    # 2168-2203): all DBC vertices are pulled to their full scripted
+    # destinations when the CCD-clamped motion cannot complete
+    use_al = (
+        disp_fn is not None and p.mdbc_al and bool(np.asarray(dbc).any())
+    )
+    if use_al:
+        al_verts = np.where(np.asarray(dbc))[0].astype(np.int32)
+        al_m = jnp.asarray(np.asarray(mesh.mass)[al_verts], dtype)
+        al_sqrtm = jnp.sqrt(al_m)
+        cn_mbc = float(stepper.cn_mbc)
+        # AL episode + projected follow-up share one loop; give it headroom
+        max_newton = max(max_newton, 160)
+    voxel = float(stepper.voxel)
+
+    def aco_update(x_sv, orig, vel):
+        """Traced mirror of IPCStepper._step_aco (reference stepAnimScript
+        AST_ACOSQUASH/6/SHEAR branches, AnimScripter.cpp:1832-1890): flip
+        velocities on the squash-separation conditions, then move each
+        plane by a CCD-clamped fraction of vel*dt (HalfSpace::move,
+        slackness 0.5). Returns (orig', vel', hsD (n_hs,), veldt)."""
+        if aco_kind == "squash" and n_hs >= 2:
+            f = jnp.where(orig[1, 0] - orig[0, 0] < 0.1, -1.0, 1.0).astype(dtype)
+            vel = vel.at[0, 0].multiply(f).at[1, 0].multiply(f)
+        elif aco_kind == "squash6" and n_hs >= 6:
+            for a, b, ax, thr in ((0, 1, 0, 0.2), (2, 3, 1, 0.2), (4, 5, 2, 0.2)):
+                f = jnp.where(orig[b, ax] - orig[a, ax] < thr, -1.0, 1.0).astype(dtype)
+                vel = vel.at[a, ax].multiply(f).at[b, ax].multiply(f)
+        elif aco_kind == "squashshear" and n_hs >= 2:
+            tgt = vel.at[0].set(0.0).at[1].set(
+                jnp.asarray([0.0, 1.0, 0.0], dtype)
+            )
+            vel = jnp.where(orig[1, 0] - orig[0, 0] < 0.8, tgt, vel)
+        veldt = vel * dt
+        rows = []
+        for i, hs in enumerate(stepper.halfspaces):
+            n_i = jnp.asarray(hs_normals[i], dtype)
+            D_i = -(orig[i] @ n_i)
+            s = hs.move_bound_t(x_sv, veldt[i], D_i, slackness=0.5)
+            rows.append(orig[i] + s * veldt[i])
+        orig = jnp.stack(rows)
+        hsD = -jnp.einsum("ij,ij->i", orig, jnp.asarray(hs_normals, dtype))
+        return orig, vel, hsD, veldt
 
     def x_tilde_of(state):
         g = gravity[None, :].astype(dtype)
@@ -226,17 +324,27 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         def e_out(E):
             return E
 
-    def energy(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None):
+    def _hsd(hsD, i):
+        return None if hsD is None else hsD[i]
+
+    def energy(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None,
+               hsD=None, alw=None):
         E = e_add_v(e_zero(), w_el * EL.elasticity_energy_per_elem(x, mesh, p.model))
         dxv = x - x_tilde
         E = e_add_v(E, 0.5 * mesh.mass[:, None] * dxv * dxv)
+        if alw is not None:
+            # moving-DBC augmented Lagrangian (reference augmentMDBCEnergy,
+            # AnimScripter.cpp:2302-2309): -sqrt(m) lam.(x-t) + rho/2 m|x-t|^2
+            dxt = x[al_verts] - alw["target"]
+            E = e_add_s(E, -jnp.sum(al_sqrtm[:, None] * alw["lam"] * dxt))
+            E = e_add_s(E, 0.5 * alw["w"] * jnp.sum(al_m[:, None] * dxt * dxt))
         if fext is not None:
             E = e_add_s(E, -w_el * jnp.sum(
                 jnp.where(dbc[:, None], 0.0, mesh.mass[:, None] * fext * x)
             ))
         x_sv = x[sv]
-        for hs in stepper.halfspaces:
-            E = e_add_s(E, hs.energy(x_sv, kappa, dHat))
+        for i, hs in enumerate(stepper.halfspaces):
+            E = e_add_s(E, hs.energy(x_sv, kappa, dHat, D=_hsd(hsD, i)))
         if sc is not None:
             # a compacted (possibly line-search-swept) active set evaluates
             # the same barrier sum over ~10-50x fewer rows (see ActiveSet)
@@ -252,15 +360,21 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             E = e_add_v(E, 0.5 * v4 * Av)
         return E
 
-    def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None):
+    def gradient(x, x_tilde, kappa, cand, fric, damp, fext=None, act=None,
+                 hsD=None, alw=None, dbc_t=None):
         g = w_el * EL.elasticity_gradient(x, mesh, p.model, vert_sum=gsum_tet)
         g = g + mesh.mass[:, None] * (x - x_tilde)
+        if alw is not None:
+            dxt = x[al_verts] - alw["target"]
+            g = g.at[al_verts].add(
+                -al_sqrtm[:, None] * alw["lam"] + alw["w"] * al_m[:, None] * dxt
+            )
         if fext is not None:
             g = g - w_el * mesh.mass[:, None] * fext
         x_sv = x[sv]
         g_sv = jnp.zeros_like(x_sv)
-        for hs in stepper.halfspaces:
-            g_sv = g_sv + hs.grad_sv(x_sv, kappa, dHat)
+        for i, hs in enumerate(stepper.halfspaces):
+            g_sv = g_sv + hs.grad_sv(x_sv, kappa, dHat, D=_hsd(hsD, i))
         g = g.at[sv].add(g_sv)
         if sc is not None:
             g = g + (
@@ -274,7 +388,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             v4 = dxd[mesh.tets].reshape(-1, 12)
             Av = jnp.einsum("tij,tj->ti", damp["blocks"], v4, precision=_HI)
             g = g + gsum_tet(Av.reshape(-1, 3))
-        return jnp.where(dbc[:, None], 0.0, g)
+        dproj = dbc if dbc_t is None else dbc_t
+        return jnp.where(dproj[:, None], 0.0, g)
 
     # coarse-assembly cadence: the (C,C)-cell scatters cost ~60 ms per
     # call at 100K tets — far too much per Newton iteration — but only a
@@ -282,9 +397,10 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     # once per step only for large meshes.
     lag_coarse = int(mesh.tets.shape[0]) >= 32768
 
-    def assemble_coarse(x, kappa, cand, fric, damp):
+    def assemble_coarse(x, kappa, cand, fric, damp, hsD=None):
         """Exact Galerkin coarse matrix of every block family (a one-step-
-        stale preconditioner is still SPD and nearly as effective)."""
+        stale preconditioner is still SPD and nearly as effective; AL pull
+        blocks are omitted — preconditioner quality only)."""
         if coarse_assemble is None:
             return None
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
@@ -292,8 +408,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             Hel = Hel + damp["blocks"]
         x_sv = x[sv]
         Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
-        for hs in stepper.halfspaces:
-            Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+        for i, hs in enumerate(stepper.halfspaces):
+            Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat, D=_hsd(hsD, i))
         contribs = [(sv[:, None], Hsv)]
         if sc is not None:
             vids_act, H_act, _ = sc.hessian_blocks_active(
@@ -305,22 +421,25 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         return coarse_assemble(mesh.mass, contribs, tet_H=Hel)
 
     def search_dir(x, x_tilde, kappa, cand, fric, damp, fext=None, dx0=None,
-                   Ainv_c=None):
+                   Ainv_c=None, hsD=None, alw=None, dbc_t=None):
         if not lag_coarse and coarse_assemble is not None:
             Ainv_c = None  # assembled fresh below
         from ipc_tpu.parallel.spmd import constrain
 
+        if dbc_t is None:
+            dbc_t = dbc
         # ONE candidate->active compaction per Newton iteration feeds the
         # barrier gradient AND the 12x12 block construction
         act = sc.active_set(x, cand, dHat) if sc is not None else None
-        g = constrain(gradient(x, x_tilde, kappa, cand, fric, damp, fext, act))
+        g = constrain(gradient(x, x_tilde, kappa, cand, fric, damp, fext, act,
+                               hsD, alw, dbc_t))
         Hel = w_el * EL.elasticity_hessian_blocks(x, mesh, p.model, True)
         if damp is not None:
             Hel = Hel + damp["blocks"]
         x_sv = x[sv]
         Hsv = jnp.zeros((sv.shape[0], 3, 3), x.dtype)
-        for hs in stepper.halfspaces:
-            Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat)
+        for i, hs in enumerate(stepper.halfspaces):
+            Hsv = Hsv + hs.hess_blocks_sv(x_sv, kappa, dHat, D=_hsd(hsD, i))
         fric_blocks = stepper._friction_hessians(x, fric)
         if sc is not None:
             vids_act, H_act, active_count = sc.hessian_blocks_from_active(
@@ -349,16 +468,20 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             return out + gsum_tet(hv.reshape(-1, 3))
 
         def operator(v):
-            v = jnp.where(dbc[:, None], 0.0, v)
+            v = jnp.where(dbc_t[:, None], 0.0, v)
             out = mesh.mass[:, None] * v
+            if alw is not None:
+                out = out.at[al_verts].add(
+                    (alw["w"] * al_m)[:, None] * v[al_verts]
+                )
             out = scatter12_tet(out, Hel, v)
             out = out.at[sv].add(jnp.einsum("vij,vj->vi", Hsv, v[sv], precision=_HI))
             if H_act is not None:
                 out = scatter12(out, vids_act, H_act, v)
             for ids, Hf in fric_blocks:
                 out = scatter12(out, ids, Hf, v)
-            out = jnp.where(dbc[:, None], 0.0, out)
-            return jnp.where(dbc[:, None], v, out)
+            out = jnp.where(dbc_t[:, None], 0.0, out)
+            return jnp.where(dbc_t[:, None], v, out)
 
         # corner-diagonal 3x3 blocks of (N,12,12) via ONE static column
         # gather (element (c,i,c,j) sits at flat column c*39 + i*12 + j;
@@ -377,6 +500,11 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             return diag.at[vids.reshape(-1)].add(diag_blocks12(H).reshape(-1, 3, 3))
 
         diag = mesh.mass[:, None, None] * jnp.eye(3, dtype=x.dtype)[None]
+        if alw is not None:
+            diag = diag.at[al_verts].add(
+                (alw["w"] * al_m)[:, None, None]
+                * jnp.eye(3, dtype=x.dtype)[None]
+            )
         diag = diag + gsum_tet(diag_blocks12(Hel).reshape(-1, 3, 3))
         diag = diag.at[sv].add(Hsv)
         if H_act is not None:
@@ -384,7 +512,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         for ids, Hf in fric_blocks:
             diag = diag12(diag, ids, Hf)
         eye = jnp.eye(3, dtype=x.dtype)[None]
-        diag = jnp.where(dbc[:, None, None], eye, diag)
+        diag = jnp.where(dbc_t[:, None, None], eye, diag)
         inv_diag = block_jacobi_inverse(diag)
 
         if not lag_coarse and coarse_assemble is not None:
@@ -414,27 +542,32 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         dx = jnp.where(bad, apply_block_precond(inv_diag, -g), dx)
         return dx, g, iters, active_count
 
-    def feasible_alpha_local(x, dx):
+    def feasible_alpha_local(x, dx, hsD=None, dbc_sv_t=None):
         """Inversion cubic + analytic half-space bound (no mesh CCD)."""
+        if dbc_sv_t is None:
+            dbc_sv_t = dbc_sv
         alpha = jnp.asarray(1.0, dtype)
         alpha = jnp.minimum(alpha, EL.filter_step_size(x, dx, mesh, p.model))
         x_sv = x[sv]
         p_sv = dx[sv]
-        for hs in stepper.halfspaces:
+        for i, hs in enumerate(stepper.halfspaces):
             alpha = jnp.minimum(
-                alpha, hs.largest_feasible_step(x_sv, p_sv, dbc_sv, p.ccd_slackness_a)
+                alpha,
+                hs.largest_feasible_step(
+                    x_sv, p_sv, dbc_sv_t, p.ccd_slackness_a, D=_hsd(hsD, i)
+                ),
             )
         return alpha
 
-    def init_kappa(x, x_tilde, cand):
+    def init_kappa(x, x_tilde, cand, hsD=None):
         """Device initKappa: balance unit-kappa contact gradient."""
         g_E = w_el * EL.elasticity_gradient(
             x, mesh, p.model, vert_sum=gsum_tet
         ) + mesh.mass[:, None] * (x - x_tilde)
         x_sv = x[sv]
         g_sv = jnp.zeros_like(x_sv)
-        for hs in stepper.halfspaces:
-            g_sv = g_sv + hs.grad_sv(x_sv, 1.0, dHat)
+        for i, hs in enumerate(stepper.halfspaces):
+            g_sv = g_sv + hs.grad_sv(x_sv, 1.0, dHat, D=_hsd(hsD, i))
         g_c = jnp.zeros_like(x).at[sv].add(g_sv)
         if sc is not None:
             g_c = g_c + sc.gradient_active(
@@ -448,15 +581,16 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         kappa = jnp.where((denom > 0) & (min_k > 0), jnp.maximum(min_k, kappa_sug), kappa_sug)
         return jnp.minimum(kappa, kappa_max)
 
-    def capture_friction(x, x_prev, kappa, cand):
+    def capture_friction(x, x_prev, kappa, cand, hsD=None, hs_veldt=None):
         if not solve_fric:
             return None
         x_sv = x[sv]
         hs_lams = []
-        for hs in stepper.halfspaces:
+        for i, hs in enumerate(stepper.halfspaces):
             if hs.params.friction > 0.0:
-                m = hs.active_mask(x_sv, dHat)
-                hs_lams.append(hs.friction_lambda(x_sv, m, kappa, dHat))
+                D_i = _hsd(hsD, i)
+                m = hs.active_mask(x_sv, dHat, D=D_i)
+                hs_lams.append(hs.friction_lambda(x_sv, m, kappa, dHat, D=D_i))
             else:
                 hs_lams.append(None)
         sc_state = None
@@ -469,17 +603,26 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # the jit path runs no fricDHat homotopy (see module docstring);
             # use the target smoothing directly
             eps2=jnp.asarray(stepper.fric_dhat_target, dtype),
+            # moving planes drag their contacts (VDiff -= velocitydt,
+            # HalfSpace.cpp:286); only squashshear sets a nonzero veldt
+            hs_veldt=hs_veldt,
         )
 
     def newton_solve(x, x_tilde, kappa, fric, cand0, damp, fext=None,
-                     Ainv_c=None):
+                     Ainv_c=None, hsD=None, al0=None):
         """Newton loop with candidate carrying: the swept candidate set
         built in iteration k (gap sqrt(dHat), swept along the accepted
         step) provably covers every pair within sqrt(dHat) of iterate
         k+1, so ONE broad phase per iteration serves the next gradient/
         Hessian, the CCD, and every line-search trial (the reference
         instead rebuilds its hash per iteration AND per trial,
-        Optimizer.cpp:2766-2805)."""
+        Optimizer.cpp:2766-2805).
+
+        `al0` (moving-DBC AL, only when use_al): dict(target (n_al,3),
+        denom scalar, blocked bool). The loop starts in AL mode when
+        blocked: DBC rows unprojected, AL pull active, rho/lambda schedule
+        per reference Optimizer.cpp:2176-2203; on completion the mode flag
+        flips in the carry and the remaining iterations run projected."""
 
         def cond(c):
             return (~c["done"]) & (c["k"] < max_newton)
@@ -488,29 +631,51 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             x = c["x"]
             cand = c["cand"]
             kappa = c["kappa"]
+            if al0 is not None:
+                al_in = c["al"]
+                fal = jnp.where(al_in, 1.0, 0.0).astype(dtype)
+                alw = dict(
+                    w=fal * c["rho"],
+                    lam=fal[None, None] * c["lam"],
+                    target=al0["target"],
+                )
+                dbc_t = dbc & ~al_in
+                dbc_sv_t = dbc_sv & ~al_in
+            else:
+                al_in = jnp.asarray(False)
+                alw = None
+                dbc_t = None
+                dbc_sv_t = None
             # PCG warm start: successive Newton directions are highly
             # correlated, so seed with the previous one
             dx, g, pcg_iters, active_count = search_dir(
-                x, x_tilde, kappa, cand, fric, damp, fext, c["dx"], Ainv_c
+                x, x_tilde, kappa, cand, fric, damp, fext, c["dx"], Ainv_c,
+                hsD, alw, dbc_t
             )
             dist = jnp.abs(dx).max()
-            converged = (c["k"] > 0) & (dist < target_gres)
+            # AL mode has its own termination (completion flips the mode);
+            # the gradient-residual test applies only once projected
+            converged = (c["k"] > 0) & (dist < target_gres) & (~al_in)
 
-            alpha0 = feasible_alpha_local(x, dx)
-            # degenerate-sweep guard: on floppy geometry (a thin flat sheet
-            # has near-zero transverse stiffness and tiny lumped mass) the
-            # first Newton direction is legitimately scene-sized, passes
-            # the inversion filter at alpha~1, and sweeping the candidate
-            # AABBs by it inflates the shared hash cell until one bucket
-            # holds most primitives (mat100x100 regrew grid_K to 9e4,
-            # BATTERY_r3.json). The line search would reject such a step
-            # anyway, so start it where the sweep stays sane: max
-            # per-vertex travel <= diag/5 (extra Newton iterations instead
-            # of a degenerate broad phase).
-            max_travel = jnp.sqrt(jnp.max(jnp.sum(dx * dx, axis=1)))
-            alpha0 = jnp.minimum(
-                alpha0, 0.2 * scene_diag / jnp.maximum(max_travel, 1e-30)
+            alpha0 = feasible_alpha_local(x, dx, hsD, dbc_sv_t)
+            # swept-span clamp (reference swept SpatialHash::build,
+            # SpatialHash.hpp:613-618: spanSize = alpha * mean |searchDir
+            # components over surface verts| / voxelSize; alpha /= spanSize
+            # when > 1 "for CCD spatial hash efficiency"). For this
+            # fixed-shape broad phase it is also the memory guard: an
+            # unclamped degenerate sweep (floppy-sheet Newton direction)
+            # inflates the shared grid cell until one bucket holds most
+            # primitives (mat100x100 regrew to a 330 GB request,
+            # BATTERY_r3.json). A 16-voxel max-travel rule additionally
+            # bounds single-outlier sweeps a mean cannot see.
+            p_sv_abs = jnp.abs(dx[sv])
+            span = alpha0 * p_sv_abs.mean() / voxel
+            alpha1 = jnp.where(span > 1.0, alpha0 / span, alpha0)
+            alpha1 = jnp.minimum(
+                alpha1, 16.0 * voxel / jnp.maximum(p_sv_abs.max(), 1e-30)
             )
+            clamped = alpha1 < alpha0
+            alpha0 = alpha1
             if sc is not None:
                 # ONE fused broad phase per iteration: the swept candidates
                 # carry the PT/EE barrier+CCD stencils AND the edge-triangle
@@ -532,7 +697,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 if sc is not None
                 else None
             )
-            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act)
+            E0 = energy(x, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act,
+                        hsD, alw)
 
             def ls_cond(ls):
                 alpha, j, ok, E_last = ls
@@ -542,7 +708,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 alpha, j, ok, E_last = ls
                 x_try = x + alpha * dx
                 E_try = energy(
-                    x_try, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act
+                    x_try, x_tilde, kappa, cand_sweep, fric, damp, fext, ls_act,
+                    hsD, alw
                 )
                 good = e_leq(E_try, E0)
                 if sc is not None:
@@ -592,10 +759,15 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                         got |= jnp.any(
                             ls_act.ok_e & (de0 < dTol) & (de1 <= de0)
                         )
-                    for hs in stepper.halfspaces:
-                        h0 = hs.dist2(xa[sv])
-                        h1 = hs.dist2(xb[sv])
-                        got |= jnp.any((h0 < dTol) & (h1 <= h0))
+                    # the reference's close-constraint set holds only
+                    # non-DBC codim-3 vertices (CollisionObject.h
+                    # computeConstraintSet: !isDBCVertex && vICoDim==3); a
+                    # pinned vertex resting within dTol of a plane must not
+                    # ratchet kappa to the clamp
+                    for i_hs, hs in enumerate(stepper.halfspaces):
+                        h0 = hs.dist2(xa[sv], D=_hsd(hsD, i_hs))
+                        h1 = hs.dist2(xb[sv], D=_hsd(hsD, i_hs))
+                        got |= jnp.any((~dbc_sv) & (h0 < dTol) & (h1 <= h0))
                     return got
 
                 double = accepted & take & _closer(x, x_new)
@@ -605,14 +777,45 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             else:
                 double = jnp.asarray(False)
                 kappa_next = kappa
+
+            out = dict()
+            if al0 is not None:
+                # moving-DBC AL control after the accepted iterate
+                # (reference Optimizer.cpp:2176-2203): completion (moved >
+                # 1-1e-3) flips to projected mode; otherwise double rho on
+                # regressing progress, and near the MDBC tolerance either
+                # double rho (incomplete) or update lambda (converging).
+                rho, lam = c["rho"], c["lam"]
+                dxt_new = x_new[al_verts] - al0["target"]
+                moved = 1.0 - jnp.sqrt(jnp.sum(dxt_new * dxt_new)) / al0["denom"]
+                finished = (moved > 1.0 - 1e-3) | (c["k"] >= 100)
+                apply = al_in & (~finished)
+                grow_a = (moved < c["lastmv"]) & (rho < 1e8)
+                near = dist < cn_mbc
+                grow_b = (~grow_a) & near & (moved < 0.99) & (rho < 1e8)
+                upd_lam = (~grow_a) & near & ~((moved < 0.99) & (rho < 1e8))
+                out["rho"] = jnp.where(apply & (grow_a | grow_b), rho * 2.0, rho)
+                out["lam"] = jnp.where(
+                    apply & upd_lam,
+                    lam - rho * al_sqrtm[:, None] * dxt_new,
+                    lam,
+                )
+                out["lastmv"] = jnp.where(apply, moved, c["lastmv"])
+                # a stalled line search also ends the AL episode (the host
+                # path breaks out of the AL sub-solve and continues with the
+                # projected follow-up, timestepper._solve_mdbc_al)
+                out["al"] = al_in & (~finished) & (~stalled)
+                out["al_iters"] = c["al_iters"] + jnp.where(al_in, 1, 0)
             return dict(
+                **out,
                 kappa=kappa_next,
                 n_doubles=c["n_doubles"] + double.astype(jnp.int32),
                 x=_cstr(jnp.where(take, x_new, x)),
                 cand=cand_sweep,
                 dx=dx,
                 k=c["k"] + jnp.where(take, 1, 0),
-                done=converged | stalled,
+                done=converged | (stalled & (~al_in)),
+                n_clamps=c["n_clamps"] + (clamped & take).astype(jnp.int32),
                 dist=dist,
                 alpha=jnp.where(take, alpha, c["alpha"]),
                 energy=jnp.where(take, e_out(E_new), c["energy"]),
@@ -653,27 +856,77 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             active_pt_max=jnp.asarray(0, jnp.int32),
             active_ee_max=jnp.asarray(0, jnp.int32),
             pcg_total=jnp.asarray(0, jnp.int32),
+            n_clamps=jnp.asarray(0, jnp.int32),
             bucket_ov=cand0.bucket_overflow if cand0 is not None else jnp.asarray(0, jnp.int32),
         )
+        if al0 is not None:
+            init.update(
+                al=al0["blocked"],
+                rho=jnp.asarray(1.0e6, dtype),
+                lam=jnp.zeros((al_verts.shape[0], 3), dtype),
+                lastmv=jnp.asarray(0.0, dtype),
+                al_iters=jnp.asarray(0, jnp.int32),
+            )
         return jax.lax.while_loop(cond, body, init)
 
+    need_aux = turn is not None or hs_moving
+
     def step(state: SimState):
+        if need_aux and not isinstance(state.aux, dict):
+            raise ValueError(
+                "this scene carries device-script state (turning rules / "
+                "moving planes): initialize SimState.aux with "
+                "jit_step.initial_device_aux(stepper) before stepping"
+            )
+        aux_out = dict(state.aux) if isinstance(state.aux, dict) else None
+        x_s = state.x
+        # velocity turning points (reference velocityTurningPoints handling
+        # in stepAnimScript): evaluate the traced rules at the current
+        # positions, persist sign/active in aux, and scale the scripted
+        # linear velocities by the resulting per-group/handle factors
+        gfac = hfac = None
+        if turn is not None:
+            tsign, tact = turn.update(
+                x_s, state.aux["turn_sign"], state.aux["turn_active"]
+            )
+            aux_out["turn_sign"], aux_out["turn_active"] = tsign, tact
+            gfac, hfac = turn.gfac(tsign), turn.hfac(tsign)
+        # ACO moving analytic planes: advance origins/velocities in aux and
+        # hand every kernel below the current traced plane offsets
+        hsD = None
+        hs_veldt = None
+        if hs_moving:
+            orig, avel, hsD, veldt = aco_update(
+                x_s[sv], state.aux["hs_origin"], state.aux["aco_vel"]
+            )
+            aux_out["hs_origin"], aux_out["aco_vel"] = orig, avel
+            if aco_kind == "squashshear":
+                hs_veldt = [veldt[i] for i in range(n_hs)]
         script_scale = jnp.asarray(1.0, dtype)
+        al0 = None
         if disp_fn is not None:
             # scripted DBC motion, clamped exactly like the reference
-            # stepAnimScript: elasticity inversion filter + mesh CCD +
-            # intersection backtracking (AnimScripter.cpp:2158-2250). The
-            # ET pairs are built swept by the FULL displacement so one
-            # broad phase covers every trial. A completed fraction < 1 is
-            # reported in stats.script_scale; the sim loop redoes such
-            # steps on the host path's augmented-Lagrangian solver.
-            x_s = state.x
-            disp = disp_fn(x_s, state.t)
+            # stepAnimScript: elasticity inversion filter + swept-span
+            # clamp + mesh CCD + intersection backtracking
+            # (AnimScripter.cpp:2158-2250). The ET pairs are built swept by
+            # the clamped displacement so one broad phase covers every
+            # trial. A completed fraction < 1 raises the moving-DBC AL mode
+            # inside the Newton loop (al0 below).
+            disp = disp_fn(x_s, state.t, gfac, hfac)
             script_scale = jnp.minimum(
                 script_scale, EL.filter_step_size(x_s, disp, mesh, p.model)
             )
+            d_sv_abs = jnp.abs(disp[sv])
+            span = script_scale * d_sv_abs.mean() / voxel
+            script_scale = jnp.where(
+                span > 1.0, script_scale / span, script_scale
+            )
+            script_scale = jnp.minimum(
+                script_scale,
+                16.0 * voxel / jnp.maximum(d_sv_abs.max(), 1e-30),
+            )
             if sc is not None:
-                cand_s = build_cand(x_s, disp)
+                cand_s = build_cand(x_s, script_scale * disp)
                 script_scale = script_scale * sc.ccd_alpha(
                     x_s, script_scale * disp, cand_s,
                     1.0 - p.ccd_slackness_m, p.ccd_max_iter,
@@ -694,33 +947,60 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                     sb_cond, sb_body, (script_scale, jnp.asarray(False))
                 )
                 script_scale = jnp.where(ok, script_scale, 0.0)
-            state = SimState(
-                x=x_s + script_scale * disp, x_prev=state.x_prev, v=state.v,
-                a=state.a, t=state.t, step=state.step,
+            if use_al:
+                # full scripted destinations of the DBC vertices (reference
+                # targetPos, AnimScripter.cpp:2151-2158); blocked when the
+                # clamps kept the motion from completing
+                dnorm = jnp.sqrt(jnp.sum(disp * disp))
+                al0 = dict(
+                    target=x_s[al_verts] + disp[al_verts],
+                    denom=jnp.maximum(dnorm, 1e-30),
+                    blocked=(script_scale < 1.0 - 1e-3) & (dnorm > 0.0),
+                )
+            state = replace(
+                state, x=x_s + script_scale * disp, x_prev=state.x_prev
             )
         fext = fext_fn(state.t) if fext_fn is not None else None
         x_tilde = x_tilde_of(state)
+        if al0 is not None:
+            # AL mode frees the DBC rows: their inertia target is the last
+            # committed position (reference computeXTilta keeps V_prev for
+            # DBC vertices; host mirror timestepper._solve_mdbc_al)
+            x_tilde = jnp.where(
+                dbc[:, None] & al0["blocked"], state.x_prev, x_tilde
+            )
         x0 = state.x
         # warm start: feasibility-filtered inertia predictor (reference
         # initX mode 1 family, Optimizer.cpp:924-1233) — saves roughly one
         # Newton iteration per step in free flight and is CCD-safe
         dx0 = x_tilde - x0
-        a0 = feasible_alpha_local(x0, dx0)
+        dx0 = jnp.where(dbc[:, None], 0.0, dx0)
+        a0 = feasible_alpha_local(x0, dx0, hsD)
         if sc is not None:
+            # ONE swept broad phase serves the warm-start CCD AND the first
+            # Newton iteration: the sweep covers [x0, x0 + a0*dx0], so its
+            # candidate set is a superset of any unswept build at the
+            # accepted endpoint (distance filters downstream discard the
+            # extras). Building a separate cand0 here would add a fourth
+            # identical broad-phase region to the compiled program — a
+            # measurable share of the 25-35 min TPU compiles of scripted
+            # scenes.
             cand_ws = build_cand(x0, a0 * dx0, with_et=False)
             a0 = a0 * sc.ccd_alpha(
                 x0, a0 * dx0, cand_ws, 1.0 - p.ccd_slackness_m, p.ccd_max_iter
             )
+            cand0 = cand_ws
+        else:
+            cand0 = None
         x0 = x0 + a0 * dx0
-        cand0 = build_cand(x0, jnp.zeros_like(x0), with_et=False)
         kappa = (
-            init_kappa(x0, x_tilde, cand0)
+            init_kappa(x0, x_tilde, cand0, hsD)
             if p.adaptive_kappa
             else jnp.asarray(
                 min(p.kappa, kappa_max) if p.kappa > 0 else kappa_sug, dtype
             )
         )
-        fric = capture_friction(x0, state.x_prev, kappa, cand0)
+        fric = capture_friction(x0, state.x_prev, kappa, cand0, hsD, hs_veldt)
         damp = None
         if p.damping_stiff > 0.0:
             blocks = (p.damping_stiff / dt) * EL.elasticity_hessian_blocks(
@@ -728,9 +1008,13 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             )
             damp = dict(blocks=blocks, x_ref=state.x_prev)
         Ainv_c0 = (
-            assemble_coarse(x0, kappa, cand0, fric, damp) if lag_coarse else None
+            assemble_coarse(x0, kappa, cand0, fric, damp, hsD)
+            if lag_coarse
+            else None
         )
-        out = newton_solve(x0, x_tilde, kappa, fric, cand0, damp, fext, Ainv_c0)
+        out = newton_solve(
+            x0, x_tilde, kappa, fric, cand0, damp, fext, Ainv_c0, hsD, al0
+        )
         x = out["x"]
         if is_nm:
             g = gravity[None, :].astype(dtype)
@@ -741,8 +1025,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         else:
             v = (x - state.x_prev) / dt
             a = (v - state.v) / dt
-        new_state = SimState(
-            x=x, x_prev=x, v=v, a=a, t=state.t + dt, step=state.step + 1
+        new_state = replace(
+            state, x=x, x_prev=x, v=v, a=a, t=state.t + dt,
+            step=state.step + 1, aux=aux_out,
         )
         stats = JitStepStats(
             newton_iters=out["k"],
@@ -764,6 +1049,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 if fric is not None and fric.get("sc") is not None
                 else jnp.asarray(0, jnp.int32)
             ),
+            al_iters=out.get("al_iters", jnp.asarray(0, jnp.int32)),
+            sweep_clamps=out["n_clamps"],
         )
         return new_state, stats
 

@@ -32,7 +32,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["DBCGroup", "NBCGroup", "Script", "build_script", "device_closures"]
+__all__ = ["DBCGroup", "NBCGroup", "Script", "build_script", "device_closures",
+           "DeviceTurning"]
 
 
 @dataclass
@@ -146,10 +147,11 @@ class Script:
         )
 
     def host_only(self):
-        """True when the script needs per-step host work (file IO, stateful
-        turning rules, or moving analytic planes) and cannot run inside the
-        jitted step."""
-        return bool(self.mesh_seqs or self.turning or self.aco_kind)
+        """True when the script needs per-step host FILE IO (mesh-sequence
+        motions) and cannot run inside the jitted step. Turning rules and
+        moving analytic planes are traced into the device step (their state
+        lives in SimState.aux; see jit_step + DeviceTurning below)."""
+        return bool(self.mesh_seqs)
 
     def _apply_turning(self, x):
         """Mutate group/handle velocities per the active turning rules
@@ -227,25 +229,102 @@ class Script:
         return f
 
 
-def device_closures(script: "Script", dtype, dt):
-    """(disp_fn, fext_fn) jnp closures for the fully-jitted step.
+class DeviceTurning:
+    """Traced velocity-turning-point rules (reference
+    velocityTurningPoints + per-script handling in stepAnimScript,
+    AnimScripter.cpp:1556-1808). Rule state is two fixed-shape arrays —
+    sign (R,) in {+1, 0, -1} and active (R,) bool — carried in
+    SimState.aux so the jitted step serves the whole simulation; the
+    per-group/handle linear velocities are multiplied by the product of
+    the signs of the rules that list them (the fixed-shape mirror of the
+    host path's in-place velocity mutation, Script._apply_turning)."""
 
-    disp_fn(x, t) -> (V,3) scripted displacement over [t, t+dt]; fext_fn(t)
-    -> (V,3) per-mass NBC force field — the on-device mirrors of
-    step_displacement / nbc_force (reference stepAnimScript,
-    AnimScripter.cpp:1398-2276). Rotation matrices are static (dt is a
-    trace-time constant); time gates are traced comparisons so one compiled
-    step serves the whole simulation. Mesh-sequence motions need per-frame
-    file IO and stay host-side — callers must route those scenes through
-    the host path. Returns (None, None) components when absent.
+    def __init__(self, rules, n_groups, n_handles):
+        self.n_rules = len(rules)
+        self.verts = np.asarray([r.vert for r in rules], np.int32)
+        self.axes = np.asarray([r.axis for r in rules], np.int32)
+        self.los = np.asarray([r.lo for r in rules], np.float64)
+        self.his = np.asarray([r.hi for r in rules], np.float64)
+        self.is_stop = np.asarray([r.action == "stop" for r in rules])
+        self.one_shot = np.asarray(
+            [r.action in ("stop", "flip_once") for r in rules]
+        )
+        G = np.zeros((self.n_rules, n_groups), bool)
+        Hm = np.zeros((self.n_rules, n_handles), bool)
+        for ri, r in enumerate(rules):
+            for gi in r.group_ids:
+                G[ri, gi] = True
+            for hi in r.handle_ids:
+                Hm[ri, hi] = True
+        self.G, self.Hm = G, Hm
+
+    def init(self, dtype):
+        import jax.numpy as jnp
+
+        return (
+            jnp.ones(self.n_rules, dtype),
+            jnp.ones(self.n_rules, bool),
+        )
+
+    def update(self, x, sign, active):
+        """One per-step rule evaluation at the current positions."""
+        import jax.numpy as jnp
+
+        c = x[self.verts, self.axes]
+        outside = (c <= jnp.asarray(self.los, x.dtype)) | (
+            c >= jnp.asarray(self.his, x.dtype)
+        )
+        trig = active & outside
+        new_sign = jnp.where(
+            trig, jnp.where(jnp.asarray(self.is_stop), 0.0, -sign), sign
+        )
+        new_active = active & ~(trig & jnp.asarray(self.one_shot))
+        return new_sign, new_active
+
+    def _fac(self, sign, M):
+        import jax.numpy as jnp
+
+        if M.shape[1] == 0:
+            return None
+        # factor_j = prod over rules r with M[r, j] of sign_r
+        return jnp.prod(
+            jnp.where(jnp.asarray(M), sign[:, None], 1.0), axis=0
+        )
+
+    def gfac(self, sign):
+        return self._fac(sign, self.G)
+
+    def hfac(self, sign):
+        return self._fac(sign, self.Hm)
+
+
+def device_closures(script: "Script", dtype, dt):
+    """(disp_fn, fext_fn, turn) jnp closures for the fully-jitted step.
+
+    disp_fn(x, t, gfac, hfac) -> (V,3) scripted displacement over
+    [t, t+dt]; fext_fn(t) -> (V,3) per-mass NBC force field — the
+    on-device mirrors of step_displacement / nbc_force (reference
+    stepAnimScript, AnimScripter.cpp:1398-2276). Rotation matrices are
+    static (dt is a trace-time constant); time gates are traced
+    comparisons so one compiled step serves the whole simulation. `turn`
+    is a DeviceTurning (or None): its per-step state produces the
+    gfac/hfac linear-velocity factors. Mesh-sequence motions need
+    per-frame file IO and stay host-side — callers must route those
+    scenes through the host path. Returns None components when absent.
     """
     import jax.numpy as jnp
+
+    turn = None
+    if script is not None and script.turning:
+        turn = DeviceTurning(
+            script.turning, len(script.dbc_groups), len(script.handles)
+        )
 
     disp_fn = None
     if script is not None and script.has_motion() and not script.mesh_seqs:
         dbc_specs = []
         glo, ghi = script.dbc_time_range
-        for g in script.dbc_groups:
+        for ogi, g in enumerate(script.dbc_groups):
             lin = g.linear_vel if g.linear_vel is not None else np.zeros(3)
             has_ang = g.angular_vel is not None and np.any(g.angular_vel != 0)
             if not has_ang and not np.any(lin):
@@ -258,35 +337,42 @@ def device_closures(script: "Script", dtype, dt):
                     R,
                     max(glo, g.time_range[0]),
                     min(ghi, g.time_range[1]),
+                    ogi,
                 )
             )
         handle_specs = []
-        for h in script.handles:
+        for ohi, h in enumerate(script.handles):
             R = _axis_angle(h.axis, h.ang_vel * dt)
             lin = (h.lin_vel * dt) if h.lin_vel is not None else None
             handle_specs.append(
-                (np.asarray(h.verts, np.int32), R, np.asarray(h.center), lin)
+                (np.asarray(h.verts, np.int32), R, np.asarray(h.center), lin, ohi)
             )
 
         if dbc_specs or handle_specs:
 
-            def disp_fn(x, t):
+            def disp_fn(x, t, gfac=None, hfac=None):
                 out = jnp.zeros_like(x)
-                for idx, lin_dt, R, lo, hi in dbc_specs:
+                for idx, lin_dt, R, lo, hi, ogi in dbc_specs:
                     xg = x[idx]
                     d = jnp.zeros_like(xg)
                     if R is not None:
                         c = 0.5 * (xg.min(axis=0) + xg.max(axis=0))
                         d = d + (xg - c) @ jnp.asarray(R.T, x.dtype) + c - xg
-                    d = d + jnp.asarray(lin_dt, x.dtype)[None, :]
+                    lin_term = jnp.asarray(lin_dt, x.dtype)[None, :]
+                    if gfac is not None:
+                        lin_term = gfac[ogi] * lin_term
+                    d = d + lin_term
                     active = (t >= lo) & (t < hi)
                     out = out.at[idx].add(jnp.where(active, 1.0, 0.0) * d)
-                for idx, R, c, lin_dt in handle_specs:
+                for idx, R, c, lin_dt, ohi in handle_specs:
                     xg = x[idx]
                     c = jnp.asarray(c, x.dtype)
                     d = (xg - c) @ jnp.asarray(R.T, x.dtype) + c - xg
                     if lin_dt is not None:
-                        d = d + jnp.asarray(lin_dt, x.dtype)[None, :]
+                        lin_term = jnp.asarray(lin_dt, x.dtype)[None, :]
+                        if hfac is not None:
+                            lin_term = hfac[ohi] * lin_term
+                        d = d + lin_term
                     out = out.at[idx].add(d)
                 return out
 
@@ -313,7 +399,7 @@ def device_closures(script: "Script", dtype, dt):
                 )
             return f
 
-    return disp_fn, fext_fn
+    return disp_fn, fext_fn, turn
 
 
 def _load_seq_frame(folder, frame, ext):

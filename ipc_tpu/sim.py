@@ -450,11 +450,15 @@ class Simulation:
             if self.script is not None and self.script.host_only():
                 raise ValueError(
                     "use_jit_step does not support mesh-sequence scripts "
-                    "(per-frame file IO) or velocity turning points "
-                    "(stateful host rules); run the host path for those scenes"
+                    "(per-frame file IO); run the host path for those scenes"
                 )
-            from ipc_tpu.jit_step import make_jit_step
+            import dataclasses
 
+            from ipc_tpu.jit_step import initial_device_aux, make_jit_step
+
+            state = dataclasses.replace(
+                state, aux=initial_device_aux(self.stepper)
+            )
             step_fn = make_jit_step(self.stepper, donate=False)
 
         t0 = time.perf_counter()
@@ -523,15 +527,21 @@ class Simulation:
         growth with a diagnostic instead of an opaque huge allocation.
 
         The dominant regrown structures: the (H+1, K) bucket tables of the
-        tri/edge grids, and the candidate/stencil tensors (pairs, CCD
-        stencils, 12x12 active blocks ~ 144 f32 per active row)."""
+        tri/edge grids, the candidate/stencil tensors — per candidate row a
+        (2,) pair + (4,) vid stencil in int32 PLUS the (4,3) position
+        gathers the distance/CCD kernels materialize at the solve dtype
+        (several live at once across d0/d1 and the CCD bisection carries:
+        ~8 gathered copies is the measured envelope) — and the 12x12 active
+        Hessian blocks."""
         from ipc_tpu.contact.spatial_hash import _default_H
 
+        fbytes = np.dtype(self.stepper.dtype).itemsize
         n_tris = int(self.mesh.surf_tris.shape[0])
         n_edges = int(self.mesh.surf_edges.shape[0])
         table = (_default_H(n_tris) + 1 + _default_H(n_edges) + 1) * sc.grid_K * 4
-        cand = (sc.cap_pt + sc.cap_ee + sc.cap_et) * (2 + 4) * 4
-        active = (sc.cap_act_pt + sc.cap_act_ee) * 144 * 4
+        per_cand = (2 + 4) * 4 + 8 * 12 * fbytes
+        cand = (sc.cap_pt + sc.cap_ee + sc.cap_et) * per_cand
+        active = (sc.cap_act_pt + sc.cap_act_ee) * 144 * fbytes
         total = table + cand + active
         if total > self.CAP_BUDGET_BYTES:
             raise RuntimeError(
@@ -554,30 +564,24 @@ class Simulation:
                     state, jstats, step_fn = self._regrow_and_redo(
                         prev_state, state, jstats, step_fn
                     )
-                    if (
-                        self.script is not None
-                        and self.script.has_motion()
-                        and float(jstats.script_scale) < 1.0 - 1e-3
-                    ):
-                        # scripted motion blocked by contact: redo this step
-                        # on the host path, whose moving-DBC augmented
-                        # Lagrangian completes the displacement (the jit
-                        # step has no AL mode; see jit_step.py docstring)
-                        state, stats = self.stepper.step(prev_state, verbose=verbose)
-                    else:
+                    # scripted motion blocked by contact is completed by the
+                    # device-side moving-DBC augmented Lagrangian inside the
+                    # same compiled step (jit_step.py docstring); no host
+                    # fallback — al_iters in the stats records the episode
 
-                        class _S:  # adapt JitStepStats to the logger
-                            iters = int(jstats.newton_iters)
-                            alphas = [float(jstats.last_alpha)]
-                            # active (d < dHat) constraint count — what the
-                            # reference logs in iterStats, not the padded
-                            # candidate count
-                            n_constraints = [
-                                int(jstats.active_pt_max) + int(jstats.active_ee_max)
-                            ]
-                            grad_inf = [float(jstats.dist_to_opt)]
+                    class _S:  # adapt JitStepStats to the logger
+                        iters = int(jstats.newton_iters)
+                        alphas = [float(jstats.last_alpha)]
+                        # active (d < dHat) constraint count — what the
+                        # reference logs in iterStats, not the padded
+                        # candidate count
+                        n_constraints = [
+                            int(jstats.active_pt_max) + int(jstats.active_ee_max)
+                        ]
+                        grad_inf = [float(jstats.dist_to_opt)]
+                        al_iters = int(jstats.al_iters)
 
-                        stats = _S()
+                    stats = _S()
                 else:
                     state, stats = self.stepper.step(state, verbose=verbose)
             self._last_state = state

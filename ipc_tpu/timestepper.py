@@ -129,10 +129,16 @@ class SimState:
     # elastic correction x - xTilta of the last solve (reference dx_Elastic,
     # Optimizer.cpp:574-583); None unless warm_start >= 3 needs it
     dx_el: Any = None
+    # device-script state for the fully-jitted step (dict or None): turning-
+    # rule sign/active arrays and moving analytic-plane origins/velocities
+    # (reference AnimScripter's stateful velocityTurningPoints + ACO plane
+    # motion; see jit_step.initial_aux). The host path keeps this state in
+    # Python objects instead and leaves aux None.
+    aux: Any = None
 
 
 jax.tree_util.register_dataclass(
-    SimState, data_fields=["x", "x_prev", "v", "a", "t", "step", "dx_el"],
+    SimState, data_fields=["x", "x_prev", "v", "a", "t", "step", "dx_el", "aux"],
     meta_fields=[]
 )
 
@@ -152,6 +158,11 @@ class StepStats:
     # postLineSearch kappa doublings (reference Optimizer.cpp:2356-2446) —
     # evidence for whether the jit path's doubling-free schedule suffices
     kappa_doublings: int = 0
+    # iterations whose line-search start was reduced by the swept-span
+    # clamp (reference SpatialHash.hpp:613-618) — binding-cap visibility
+    sweep_clamps: int = 0
+    # Newton iterations spent in moving-DBC augmented-Lagrangian mode
+    al_iters: int = 0
 
 
 class IPCStepper:
@@ -214,6 +225,18 @@ class IPCStepper:
 
         self._sv = mesh.surf_verts
         self._dbc_sv = mesh.dbc_mask[mesh.surf_verts]
+        # broad-phase voxel size for the swept-span clamp (reference builds
+        # its CCD hash at voxelSize = avgEdgeLen/3, Optimizer.cpp:1894, and
+        # clamps the sweep so the MEAN per-component travel stays inside one
+        # voxel, SpatialHash.hpp:613-618)
+        xr = np.asarray(mesh.x_rest, np.float64)
+        se = np.asarray(mesh.surf_edges)
+        if len(se):
+            self.voxel = float(
+                np.linalg.norm(xr[se[:, 0]] - xr[se[:, 1]], axis=1).mean() / 3.0
+            )
+        else:
+            self.voxel = float(np.sqrt(meta.bbox_diag2)) / 3.0
         self._solve_fric = any(hs.params.friction > 0.0 for hs in self.halfspaces) or (
             self.sc is not None
             and (self.sc.friction > 0.0 or self.sc.vert_mu is not None)
@@ -270,6 +293,34 @@ class IPCStepper:
             s = hs.move_bound(x_sv_np, dX, D=D_i, slackness=0.5)
             self.hs_origin[i] = self.hs_origin[i] + s * dX
         self._refresh_hs_D()
+
+    # ------------------------------------------------------------------
+    # swept-span clamp (reference SpatialHash.hpp:589-619)
+    # ------------------------------------------------------------------
+
+    def _sweep_clamp(self, alpha, dx):
+        """Clamp the line-search start so the swept candidate build stays
+        sane (reference swept `SpatialHash::build`: spanSize = alpha *
+        mean|searchDir components over surface verts| / voxelSize; if
+        spanSize > 1 the step size is divided by it "for CCD spatial hash
+        efficiency"). For this fixed-shape broad phase the clamp is also a
+        memory guard: an unclamped degenerate sweep (floppy-sheet Newton
+        direction) inflates the shared grid cell until one bucket holds
+        most primitives (the mat100x100 330 GB failure, BATTERY_r3.json).
+        A max-travel rule (16 voxels) additionally bounds single-outlier
+        sweeps that a mean can't see. Returns (alpha, clamped?)."""
+        p_sv = np.abs(np.asarray(dx)[np.asarray(self._sv)])
+        pSize = float(p_sv.mean())  # sum |components| / (nSV * 3)
+        clamped = False
+        span = alpha * pSize / self.voxel
+        if span > 1.0:
+            alpha /= span
+            clamped = True
+        mt = float(p_sv.max())
+        if alpha * mt > 16.0 * self.voxel:
+            alpha = 16.0 * self.voxel / mt
+            clamped = True
+        return alpha, clamped
 
     # ------------------------------------------------------------------
     # kappa schedule (reference Optimizer.cpp:2215-2313)
@@ -897,6 +948,10 @@ class IPCStepper:
             if np.any(disp_np):
                 disp = jnp.asarray(disp_np, self.dtype)
                 scale = min(1.0, float(self._feasible_step_local(x, disp, self._hs_D)))
+                # swept-span clamp on the scripted sweep too (the reference
+                # stepAnimScript CCD goes through the same clamped swept
+                # build); the MDBC AL below completes any clamped remainder
+                scale, _ = self._sweep_clamp(scale, disp)
                 if self.sc is not None:
                     cand_s = self._candidates(x, disp=scale * disp)
                     scale = float(self._ccd_alpha(x, scale * disp, cand_s)) * scale
@@ -955,6 +1010,7 @@ class IPCStepper:
                     dx0 = dx0 + (c[1] if self.is_nm else c[0]) * state.dx_el
             dx0 = jnp.where(self.mesh.dbc_mask[:, None], 0.0, dx0)
             alpha = float(self._feasible_step_local(x, dx0, self._hs_D))
+            alpha, _ = self._sweep_clamp(alpha, dx0)
             if self.sc is not None:
                 cand_ws = self._candidates(x, disp=alpha * dx0)
                 alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx0, cand_ws)) * alpha)
@@ -1094,13 +1150,10 @@ class IPCStepper:
 
             # feasible step: inversion + half-space closed form + mesh ACCD
             alpha = float(self._feasible_step_local(x, dx, self._hs_D))
-            # degenerate-sweep guard (see jit_step newton body): floppy
-            # geometry yields scene-sized Newton directions whose swept
-            # AABBs inflate the hash cell until one bucket holds most
-            # primitives; start the line search at max travel <= diag/5
-            max_travel = float(jnp.sqrt(jnp.max(jnp.sum(dx * dx, axis=1))))
-            if max_travel > 0.0:
-                alpha = min(alpha, 0.2 * float(np.sqrt(self.bbox_diag2)) / max_travel)
+            # swept-span clamp (reference SpatialHash.hpp:613-618)
+            alpha, clamped = self._sweep_clamp(alpha, dx)
+            if clamped:
+                stats.sweep_clamps += 1
             if self.sc is not None:
                 cand_ccd = self._candidates(x, disp=alpha * dx)
                 alpha = min(alpha, float(self._ccd_alpha(x, alpha * dx, cand_ccd)) * alpha)
@@ -1148,6 +1201,7 @@ class IPCStepper:
 
             if mdbc is not None:
                 # reference MDBC control (Optimizer.cpp:2176-2203)
+                stats.al_iters += 1
                 dxt = np.asarray(x)[mdbc["verts_np"]] - np.asarray(mdbc["target"])
                 moved = 1.0 - float(np.linalg.norm(dxt)) / mdbc_denom
                 if moved > 1.0 - 1e-3 or k >= 100:
@@ -1242,8 +1296,15 @@ class IPCStepper:
         (jitted; this runs once per Newton iteration for adaptive kappa)."""
         parts = []
         x_sv = x[self._sv]
-        for hs in self.halfspaces:
-            parts.append(np.asarray(hs.dist2(x_sv)))
+        # the reference builds its close-constraint set only from non-DBC
+        # codim-3 vertices (CollisionObject.h computeConstraintSet:
+        # !isDBCVertex && vICoDim==3; codim verts are DBC here): a pinned
+        # vertex resting within dTol of a plane must not ratchet kappa
+        dbc_sv = np.asarray(self._dbc_sv)
+        for i, hs in enumerate(self.halfspaces):
+            D_i = None if self._hs_D is None else self._hs_D[i]
+            d2 = np.asarray(hs.dist2(x_sv, D=D_i))
+            parts.append(np.where(dbc_sv, np.inf, d2))
         if self.sc is not None and cand is not None:
             dpt, dee = self._cand_dists(x, cand)
             parts.extend([np.asarray(dpt), np.asarray(dee)])

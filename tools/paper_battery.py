@@ -94,8 +94,13 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
     step_fn = None
     if use_jit and not (sim.script is not None and sim.script.host_only()) \
             and type(sim.stepper).__name__ == "IPCStepper":
-        from ipc_tpu.jit_step import make_jit_step
+        import dataclasses
 
+        from ipc_tpu.jit_step import initial_device_aux, make_jit_step
+
+        state = dataclasses.replace(
+            state, aux=initial_device_aux(sim.stepper)
+        )
         step_fn = make_jit_step(sim.stepper, donate=False)
         rec["path"] = "jit"
     else:
@@ -108,7 +113,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
     tets = np.asarray(mesh.tets)
     t0 = time.perf_counter()
     done = 0
-    doublings = backtracks = newton_total = 0
+    doublings = backtracks = newton_total = al_total = 0
     for k in range(n_steps):
         if step_fn is not None:
             prev_state = state
@@ -116,23 +121,17 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
             state, jstats, step_fn = sim._regrow_and_redo(
                 prev_state, state, jstats, step_fn
             )
-            if (
-                sim.script is not None
-                and sim.script.has_motion()
-                and float(jstats.script_scale) < 1.0 - 1e-3
-            ):
-                # scripted motion blocked by contact -> host AL redo
-                state, st_stats = sim.stepper.step(prev_state)
-                newton_total += getattr(st_stats, "iters", 0)
-                doublings += getattr(st_stats, "kappa_doublings", 0)
-            else:
-                newton_total += int(jstats.newton_iters)
-                doublings += int(jstats.kappa_doublings)
+            # blocked scripted motion is completed by the device-side
+            # moving-DBC AL inside the same compiled step — no host redo
+            newton_total += int(jstats.newton_iters)
+            doublings += int(jstats.kappa_doublings)
+            al_total += int(jstats.al_iters)
         else:
             state, st_stats = sim.stepper.step(state)  # scripted motion inside
             doublings += getattr(st_stats, "kappa_doublings", 0)
             backtracks += getattr(st_stats, "intersection_backtracks", 0)
             newton_total += getattr(st_stats, "iters", 0)
+            al_total += getattr(st_stats, "al_iters", 0)
         done += 1
         print(f"PROG {json.dumps(dict(step=done, secs=round(time.perf_counter() - t0, 1)))}",
               flush=True)
@@ -152,7 +151,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
     rec.update(
         steps=done, secs=round(secs, 2), status="PASS",
         newton_iters=newton_total, kappa_doublings=doublings,
-        intersection_backtracks=backtracks,
+        intersection_backtracks=backtracks, al_iters=al_total,
     )
     return rec
 
@@ -334,8 +333,13 @@ def main():
             + (f"  {rec.get('error', '')}" if rec["status"] == "FAIL" else ""),
             flush=True,
         )
-        with open(args.out, "w") as f:
+        # atomic write-rename per record: a concurrent sweep or a killed
+        # parent can otherwise clobber the table mid-write (the round-3
+        # "reconstructed record" incident, BATTERY_r3.json wedgeCrackCO)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(results, f, indent=1)
+        os.replace(tmp, args.out)
     n_pass = sum(r["status"] == "PASS" for r in results)
     print(f"\n{n_pass}/{len(results)} scenes pass -> {args.out}")
 
