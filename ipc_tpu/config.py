@@ -162,7 +162,7 @@ def _resolve(path, cfg_path):
             return c
     # .seg shapes may exist only as the same-stem .obj (the reference's
     # readSEG fallback); resolve against that stem too
-    if path.endswith(".seg"):
+    if path.endswith((".seg", ".pt")):
         for c in cands:
             if os.path.exists(os.path.splitext(c)[0] + ".obj"):
                 return c

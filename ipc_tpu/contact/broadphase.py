@@ -67,6 +67,51 @@ def tri_aabbs(x, tris, disp=None, gap=0.0):
     return _prim_aabbs(x, tris, disp, gap)
 
 
+def prim_motion(x, prims, disp):
+    """Relative-motion filter inputs for one primitive family.
+
+    Returns (raw_boxes (N,2,3): position AABBs, no sweep/inflation;
+    u (N,3): mean vertex displacement; w (N,): max |disp_v - u| over the
+    primitive's vertices). For any point p on the primitive at sweep
+    fraction tau, |disp_p(tau) - tau*u_mean| <= w, so the pairwise distance
+    anywhere along the linear sweep is lower-bounded by
+    box_dist(raw_q, raw_t) - (|u_q - u_t| + w_q + w_t). disp=None means a
+    zero sweep (u = w = 0)."""
+    p = x[prims] if prims.ndim == 2 else x[prims][:, None, :]
+    rb = jnp.stack([p.min(axis=1), p.max(axis=1)], axis=1)
+    if disp is None:
+        return rb, jnp.zeros_like(rb[:, 0]), jnp.zeros_like(rb[:, 0, 0])
+    d = disp[prims] if prims.ndim == 2 else disp[prims][:, None, :]
+    u = d.mean(axis=1)
+    w = jnp.sqrt(
+        jnp.sum((d - u[:, None, :]) ** 2, axis=2)
+    ).max(axis=1)
+    return rb, u, w
+
+
+def reach_mask(motion_a, motion_b, gap):
+    """(na, nb) bool: pair CAN come within `gap` along the sweep — the
+    relative-motion reachability filter. Evaluated in f32 with a 1e-5
+    relative threshold inflation, EXACTLY mirroring the grid path's packed
+    f32 payload math (spatial_hash._query_block) so the dense and grid
+    broad phases emit identical candidate sets (exact-parity tests)."""
+    rb_a, u_a, w_a = motion_a
+    rb_b, u_b, w_b = motion_b
+    lo_a = rb_a[:, 0].astype(jnp.float32)[:, None, :]
+    hi_a = rb_a[:, 1].astype(jnp.float32)[:, None, :]
+    lo_b = rb_b[:, 0].astype(jnp.float32)[None, :, :]
+    hi_b = rb_b[:, 1].astype(jnp.float32)[None, :, :]
+    g = jnp.maximum(jnp.maximum(lo_a - hi_b, lo_b - hi_a), 0.0)
+    d2 = jnp.sum(g * g, axis=-1)
+    du = u_a.astype(jnp.float32)[:, None, :] - u_b.astype(jnp.float32)[None, :, :]
+    rel = (
+        jnp.sqrt(jnp.sum(du * du, axis=-1))
+        + w_a.astype(jnp.float32)[:, None] + w_b.astype(jnp.float32)[None, :]
+    )
+    reach = (jnp.asarray(gap, jnp.float32) + rel) * jnp.float32(1.0 + 1e-5)
+    return d2 <= reach * reach
+
+
 def overlap_pairs(boxes_a, boxes_b, valid_mask, cap):
     """Compact (i,j) with AABB overlap and valid_mask[i,j] into (cap,2).
 
@@ -98,6 +143,9 @@ def pt_candidates(x, surf_verts, surf_tris, dbc_mask, cap, disp=None, gap=0.0):
     in_tri = jnp.any(vid[:, None, :] == surf_tris[None, :, :], axis=2)  # (Sv,S)
     all_dbc = dbc_mask[surf_verts][:, None] & jnp.all(dbc_mask[surf_tris], axis=1)[None, :]
     valid = ~in_tri & ~all_dbc
+    valid = valid & reach_mask(
+        prim_motion(x, surf_verts, disp), prim_motion(x, surf_tris, disp), gap
+    )
     return overlap_pairs(vb, tb, valid, cap)
 
 
@@ -117,6 +165,9 @@ def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0, dbc_mask=No
         e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
         t_dbc = jnp.all(dbc_mask[surf_tris], axis=1)
         valid = valid & ~(e_dbc[:, None] & t_dbc[None, :])
+    valid = valid & reach_mask(
+        prim_motion(x, surf_edges, disp), prim_motion(x, surf_tris, disp), gap
+    )
     return overlap_pairs(eb, tb, valid, cap)
 
 
@@ -134,4 +185,6 @@ def ee_candidates(x, surf_edges, dbc_mask, cap, disp=None, gap=0.0):
     all_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
     both_dbc = all_dbc[:, None] & all_dbc[None, :]
     valid = upper & ~shared & ~both_dbc
+    em = prim_motion(x, surf_edges, disp)
+    valid = valid & reach_mask(em, em, gap)
     return overlap_pairs(eb, eb, valid, cap)

@@ -150,11 +150,24 @@ class SelfContact:
         for CCD-covering candidate sets."""
         mesh = self.mesh
         if self.broadphase == "grid":
-            fused = SH.fused_candidates(
-                x, mesh.surf_verts, mesh.surf_edges, mesh.surf_tris,
-                mesh.dbc_mask, self.cap_pt, self.cap_ee, self.cap_et,
-                disp, gap, K=self.grid_K, with_et=with_et,
-            )
+            from ipc_tpu.parallel import spmd
+
+            dev_mesh = spmd.active_mesh()
+            if dev_mesh is not None:
+                # sharded broad phase: build + query transients live 1/n
+                # per device (fused_candidates_spmd docstring)
+                fused = SH.fused_candidates_spmd(
+                    dev_mesh, spmd.active_axis(), x,
+                    mesh.surf_verts, mesh.surf_edges, mesh.surf_tris,
+                    mesh.dbc_mask, self.cap_pt, self.cap_ee, self.cap_et,
+                    disp, gap, K=self.grid_K, with_et=with_et,
+                )
+            else:
+                fused = SH.fused_candidates(
+                    x, mesh.surf_verts, mesh.surf_edges, mesh.surf_tris,
+                    mesh.dbc_mask, self.cap_pt, self.cap_ee, self.cap_et,
+                    disp, gap, K=self.grid_K, with_et=with_et,
+                )
             pt_pairs, pt_count = fused["pt"]
             ee_pairs, ee_count = fused["ee"]
             et_pairs, et_count = fused["et"]

@@ -46,7 +46,13 @@ import jax.numpy as jnp
 
 from ipc_tpu.contact import broadphase as BP
 
-__all__ = ["HashGrid", "build_grid", "query_pairs", "fused_candidates"]
+__all__ = [
+    "HashGrid",
+    "build_grid",
+    "query_pairs",
+    "fused_candidates",
+    "fused_candidates_spmd",
+]
 
 _PRIMES = (73856093, 19349663, 83492791)
 
@@ -101,12 +107,19 @@ def grid_geometry(*box_groups, min_cell=1e-30):
     return origin, cell
 
 
-def _pack_payload(boxes, i0, i1, extra):
-    """(N, 8+E) int32 rows: [cw0, cw1, lo.xyz, hi.xyz (bitcast f32), extra].
+def _pack_payload(boxes, i0, i1, extra, motion=None):
+    """(N, 8+E[+10]) int32 rows: [cw0, cw1, lo.xyz, hi.xyz (bitcast f32),
+    extra, motion?].
 
     cw0 = i0x<<16 | i0y; cw1 = i0z<<3 | span bits. Coordinates are
     non-negative whenever the grid origin lower-bounds the target boxes
-    (build_grid's geometry guarantees it)."""
+    (build_grid's geometry guarantees it).
+
+    motion: optional (raw_boxes (N,2,3), u (N,3), w (N,)) — UNswept,
+    UNinflated position AABBs plus the primitive's mean displacement and
+    max per-vertex deviation from it, bitcast into 10 trailing f32
+    columns. Queries use them for the relative-motion reachability filter
+    (see _query_block)."""
     span = i1 - i0
     cw0 = (i0[:, 0] << 16) | i0[:, 1]
     cw1 = (i0[:, 2] << 3) | (span[:, 0] << 2) | (span[:, 1] << 1) | span[:, 2]
@@ -116,18 +129,28 @@ def _pack_payload(boxes, i0, i1, extra):
     cols = [cw0[:, None], cw1[:, None], fbits]
     if extra is not None:
         cols.append(extra.astype(jnp.int32))
+    if motion is not None:
+        rb, u, w = motion
+        mf = jnp.concatenate(
+            [rb.reshape(-1, 6), u, w[:, None]], axis=1
+        ).astype(jnp.float32)
+        cols.append(jax.lax.bitcast_convert_type(mf, jnp.int32))
     rows = jnp.concatenate(cols, axis=1)
     # sentinel row for empty slots (id -1): cells that can never be canonical
     sent = jnp.full((1, rows.shape[1]), -1, jnp.int32)
     return jnp.concatenate([rows, sent], axis=0)
 
 
-def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None):
+prim_motion = BP.prim_motion
+
+
+def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None, motion=None):
     """Insert target AABBs (N,2,3) into an (H+1,K) bucket table.
 
     extra: optional (N,E) int32 family columns (vertex ids, DBC bits)
     appended to the packed payload so queries need no further t-side
-    gathers."""
+    gathers. motion: optional prim_motion() triple appended as 10 f32
+    columns for the query-side relative-motion filter."""
     N = boxes.shape[0]
     if geom is None:
         geom = grid_geometry(boxes, min_cell=min_cell)
@@ -161,7 +184,7 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None):
     table = table.at[row, col].set(jnp.where(valid, sp, -1))
     # the sentinel row may have been written by masked lanes; clear it
     table = table.at[H].set(-1)
-    payload = _pack_payload(boxes, i0, i1, extra)
+    payload = _pack_payload(boxes, i0, i1, extra, motion)
     return HashGrid(table, payload, origin, cell, H, K, overflow)
 
 
@@ -173,12 +196,27 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None):
 _TILE_ELEMS = 1 << 22
 
 
-def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn):
+def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn, q_motion=None,
+                 gap=0.0):
     """Candidate mask for ONE block of query rows.
 
     q_boxes (B,2,3); q_rows (B,) GLOBAL row ids handed to valid_fn. Returns
     (mask (B,row_cap) bool, t_idx (B,row_cap) int32, row_overflow scalar:
-    the K' needed so 3K' covers the fullest row)."""
+    the K' needed so 3K' covers the fullest row).
+
+    q_motion: optional (raw_boxes (B,2,3), u (B,3), w (B,)) query-side
+    prim_motion(); requires the grid built with matching target motion
+    columns. Enables the relative-motion reachability filter: a slot pair
+    survives only if box_dist(raw_q, raw_t) <= gap + |u_q-u_t| + w_q + w_t
+    — a provably conservative bound on whether the pair can come within
+    `gap` anywhere on the linear sweep. For coherent sweeps (the scripted
+    twist family: every primitive travels far, neighbors travel TOGETHER)
+    this collapses the emitted candidate count from swept-AABB-overlap
+    scale to true near-pair scale — the fixed-shape answer to the
+    reference's per-pair streamed narrow phase whose memory high-water is
+    the active set, not the candidate product
+    (SelfCollisionHandler.cpp:2447-2478; mat100x100_twist's 330 GB regrow,
+    BATTERY_r3.json)."""
     K = grid.K
     B = q_boxes.shape[0]
     corner, q_i0, q_i1 = _corner_cells(q_boxes, grid.origin, grid.cell)
@@ -240,11 +278,33 @@ def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn):
     qhi = q_boxes[:, 1].astype(jnp.float32)[:, None, :]
     sep = jnp.any((qlo > tbox[..., 3:6]) | (tbox[..., 0:3] > qhi), axis=2)
     mask = (cand >= 0) & at_canon & in_spans & ~sep
-    mask = mask & valid_fn(q_rows, t_idx, pay[..., 8:])
+    W = grid.payload.shape[1]
+    mask = mask & valid_fn(
+        q_rows, t_idx, pay[..., 8:W - 10] if q_motion is not None else pay[..., 8:]
+    )
+    if q_motion is not None:
+        # relative-motion reachability (docstring): everything in f32 with
+        # a 1e-5 relative threshold inflation covering the bitcast/cast
+        # rounding of f64 inputs (f32 eps 6e-8 << 1e-5)
+        q_rb, q_u, q_w = q_motion
+        tm = jax.lax.bitcast_convert_type(pay[..., W - 10:], jnp.float32)
+        t_lo, t_hi, t_u, t_w = tm[..., 0:3], tm[..., 3:6], tm[..., 6:9], tm[..., 9]
+        q_lo = q_rb[:, 0].astype(jnp.float32)[:, None, :]
+        q_hi = q_rb[:, 1].astype(jnp.float32)[:, None, :]
+        g = jnp.maximum(jnp.maximum(q_lo - t_hi, t_lo - q_hi), 0.0)
+        d2 = jnp.sum(g * g, axis=-1)
+        du = q_u.astype(jnp.float32)[:, None, :] - t_u
+        rel = (
+            jnp.sqrt(jnp.sum(du * du, axis=-1))
+            + q_w.astype(jnp.float32)[:, None] + t_w
+        )
+        reach = (jnp.asarray(gap, jnp.float32) + rel) * jnp.float32(1.0 + 1e-5)
+        mask = mask & (d2 <= reach * reach)
     return mask, t_idx, row_overflow
 
 
-def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS):
+def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS,
+                q_row0=0, q_motion=None, gap=0.0):
     """Candidate (q, t) pairs whose exact AABBs overlap, each exactly once.
 
     valid_fn(q_rows (B,), t_ids (B,3K), extra (B,3K,E)) -> bool mask of
@@ -266,7 +326,9 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS):
     row_cap = min(3 * K, slots)
     if Q * slots <= 2 * tile_elems:
         q_rows = jnp.arange(Q, dtype=jnp.int32)
-        mask, t_idx, row_ov = _query_block(grid, q_boxes, q_rows, valid_fn)
+        mask, t_idx, row_ov = _query_block(
+            grid, q_boxes, q_rows, valid_fn, q_motion, gap
+        )
         count = mask.sum(dtype=jnp.int32)
         # 1D nonzero: a 2D nonzero scatters one coordinate array PER OUTPUT
         # DIMENSION (measured as the dominant query cost); flattening emits
@@ -274,7 +336,7 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS):
         (flat,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
         ok = flat >= 0
         fi = jnp.maximum(flat, 0)
-        qi = fi // row_cap
+        qi = q_row0 + fi // row_cap
         pairs = jnp.stack(
             [
                 jnp.where(ok, qi, -1),
@@ -295,21 +357,33 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS):
         )
     else:
         qb = q_boxes
+    qm = None
+    if q_motion is not None:
+        qm = tuple(
+            jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+            ) if pad else a
+            for a in q_motion
+        )
     tile_cap = min(cap, QB * row_cap)
 
     def body(i, carry):
         out, total, off, row_ov = carry
         start = i * QB
         blk = jax.lax.dynamic_slice_in_dim(qb, start, QB)
+        mblk = (
+            None if qm is None
+            else tuple(jax.lax.dynamic_slice_in_dim(a, start, QB) for a in qm)
+        )
         q_rows = start + jnp.arange(QB, dtype=jnp.int32)
-        mask, t_idx, ov = _query_block(grid, blk, q_rows, valid_fn)
+        mask, t_idx, ov = _query_block(grid, blk, q_rows, valid_fn, mblk, gap)
         mask = mask & (q_rows < Q)[:, None]
         cnt = mask.sum(dtype=jnp.int32)
         (flat,) = jnp.nonzero(mask.reshape(-1), size=tile_cap, fill_value=-1)
         ok = flat >= 0
         fi = jnp.maximum(flat, 0)
         rows = jnp.stack(
-            [start + fi // row_cap, t_idx.reshape(-1)[fi]], axis=1
+            [q_row0 + start + fi // row_cap, t_idx.reshape(-1)[fi]], axis=1
         ).astype(jnp.int32)
         # valid hits are packed at the front of `flat`; append them to the
         # shared output at the running offset (writes past cap drop — the
@@ -336,24 +410,35 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS):
 # ---------------------------------------------------------------------------
 
 
-def _tri_extra(surf_tris, dbc_mask):
+def _tri_extra(surf_tris, dbc_mask, t_dbc=None):
     """(S,4) payload columns for a triangle grid: 3 vert ids + all-DBC
     (a zero column when no DBC mask applies)."""
-    if dbc_mask is None:
-        t_dbc = jnp.zeros(surf_tris.shape[0], jnp.int32)
-    else:
-        t_dbc = jnp.all(dbc_mask[surf_tris], axis=1).astype(jnp.int32)
-    return jnp.concatenate([surf_tris.astype(jnp.int32), t_dbc[:, None]], axis=1)
+    if t_dbc is None:
+        t_dbc = (
+            jnp.zeros(surf_tris.shape[0], jnp.int32)
+            if dbc_mask is None
+            else jnp.all(dbc_mask[surf_tris], axis=1).astype(jnp.int32)
+        )
+    return jnp.concatenate(
+        [surf_tris.astype(jnp.int32), t_dbc.astype(jnp.int32)[:, None]], axis=1
+    )
 
 
-def _edge_extra(surf_edges, dbc_mask):
+def _edge_extra(surf_edges, dbc_mask, e_dbc=None):
     """(E,3) payload columns for an edge grid: 2 vert ids + all-DBC."""
-    e_dbc = jnp.all(dbc_mask[surf_edges], axis=1).astype(jnp.int32)
-    return jnp.concatenate([surf_edges.astype(jnp.int32), e_dbc[:, None]], axis=1)
+    if e_dbc is None:
+        e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
+    return jnp.concatenate(
+        [surf_edges.astype(jnp.int32), e_dbc.astype(jnp.int32)[:, None]], axis=1
+    )
 
 
-def _pt_valid(surf_verts, dbc_mask):
-    v_dbc = dbc_mask[surf_verts]
+def _pt_valid(surf_verts, dbc_mask, v_dbc=None):
+    """surf_verts/v_dbc are the QUERY-side arrays aligned to q_boxes rows —
+    the full lists single-chip, the local shard inside the shard_map path
+    (where v_dbc must be pre-gathered because dbc_mask is vertex-sharded)."""
+    if v_dbc is None:
+        v_dbc = dbc_mask[surf_verts]
 
     def valid(q_rows, t_ids, extra):
         vid = surf_verts[q_rows][:, None]  # (Q,1)
@@ -366,11 +451,15 @@ def _pt_valid(surf_verts, dbc_mask):
     return valid
 
 
-def _ee_valid(surf_edges, dbc_mask):
-    e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
+def _ee_valid(surf_edges, dbc_mask, e_dbc=None, q_off=0):
+    """q_off: global row id of local query row 0 — the upper-triangle pair
+    dedup (q < t) compares GLOBAL edge indices (t_ids from the merged
+    table are always global)."""
+    if e_dbc is None:
+        e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
 
     def valid(q_rows, t_ids, extra):
-        upper = q_rows[:, None] < t_ids
+        upper = (q_off + q_rows)[:, None] < t_ids
         ev = surf_edges[q_rows]  # (Q,2)
         a, b = ev[:, 0][:, None], ev[:, 1][:, None]
         shared = (
@@ -383,8 +472,8 @@ def _ee_valid(surf_edges, dbc_mask):
     return valid
 
 
-def _et_valid(surf_edges, dbc_mask):
-    if dbc_mask is not None:
+def _et_valid(surf_edges, dbc_mask, e_dbc=None):
+    if e_dbc is None and dbc_mask is not None:
         e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
 
     def valid(q_rows, t_ids, extra):
@@ -395,7 +484,7 @@ def _et_valid(surf_edges, dbc_mask):
             | (b == extra[..., 0]) | (b == extra[..., 1]) | (b == extra[..., 2])
         )
         ok = ~shared
-        if dbc_mask is not None:
+        if e_dbc is not None:
             ok = ok & ~(e_dbc[q_rows][:, None] & (extra[..., 3] > 0))
         return ok
 
@@ -408,17 +497,23 @@ def pt_candidates(x, surf_verts, surf_tris, dbc_mask, cap, disp=None, gap=0.0,
     H = H or _default_H(nS)
     vb = BP.vert_aabbs(x, surf_verts, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
+    vm = prim_motion(x, surf_verts, disp)
+    tm = prim_motion(x, surf_tris, disp)
     geom = grid_geometry(vb, tb)
-    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask))
-    return query_pairs(grid, vb, _pt_valid(surf_verts, dbc_mask), cap)
+    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask),
+                      motion=tm)
+    return query_pairs(grid, vb, _pt_valid(surf_verts, dbc_mask), cap,
+                       q_motion=vm, gap=gap)
 
 
 def ee_candidates(x, surf_edges, dbc_mask, cap, disp=None, gap=0.0, H=None, K=32):
     nE = surf_edges.shape[0]
     H = H or _default_H(nE)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
-    grid = build_grid(eb, H, K, extra=_edge_extra(surf_edges, dbc_mask))
-    return query_pairs(grid, eb, _ee_valid(surf_edges, dbc_mask), cap)
+    em = prim_motion(x, surf_edges, disp)
+    grid = build_grid(eb, H, K, extra=_edge_extra(surf_edges, dbc_mask), motion=em)
+    return query_pairs(grid, eb, _ee_valid(surf_edges, dbc_mask), cap,
+                       q_motion=em, gap=gap)
 
 
 def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0,
@@ -427,9 +522,13 @@ def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0,
     H = H or _default_H(nS)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
+    em = prim_motion(x, surf_edges, disp)
+    tm = prim_motion(x, surf_tris, disp)
     geom = grid_geometry(eb, tb)
-    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask))
-    return query_pairs(grid, eb, _et_valid(surf_edges, dbc_mask), cap)
+    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask),
+                      motion=tm)
+    return query_pairs(grid, eb, _et_valid(surf_edges, dbc_mask), cap,
+                       q_motion=em, gap=gap)
 
 
 def fused_candidates(x, surf_verts, surf_edges, surf_tris, dbc_mask,
@@ -452,23 +551,32 @@ def fused_candidates(x, surf_verts, surf_edges, surf_tris, dbc_mask,
     vb = BP.vert_aabbs(x, surf_verts, disp, gap)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
+    # relative-motion filter inputs: raw boxes + mean displacement +
+    # deviation per primitive (see _query_block docstring); always on, so
+    # the dense/grid/SPMD paths emit identical candidate sets
+    vm = prim_motion(x, surf_verts, disp)
+    em = prim_motion(x, surf_edges, disp)
+    tm = prim_motion(x, surf_tris, disp)
     # one shared geometry: vert/edge boxes are contained in the tri boxes'
     # extent (every surface vert/edge belongs to a triangle), but include
     # them anyway so packed cell coords are provably non-negative
     tgeom = grid_geometry(vb, eb, tb)
     tri_grid = build_grid(tb, _default_H(nS), K, geom=tgeom,
-                          extra=_tri_extra(surf_tris, dbc_mask))
+                          extra=_tri_extra(surf_tris, dbc_mask), motion=tm)
     edge_grid = build_grid(eb, _default_H(nE), K, geom=tgeom,
-                           extra=_edge_extra(surf_edges, dbc_mask))
+                           extra=_edge_extra(surf_edges, dbc_mask), motion=em)
     pt_pairs, pt_count, ov1 = query_pairs(
-        tri_grid, vb, _pt_valid(surf_verts, dbc_mask), cap_pt
+        tri_grid, vb, _pt_valid(surf_verts, dbc_mask), cap_pt,
+        q_motion=vm, gap=gap,
     )
     ee_pairs, ee_count, ov2 = query_pairs(
-        edge_grid, eb, _ee_valid(surf_edges, dbc_mask), cap_ee
+        edge_grid, eb, _ee_valid(surf_edges, dbc_mask), cap_ee,
+        q_motion=em, gap=gap,
     )
     if with_et:
         et_pairs, et_count, _ = query_pairs(
-            tri_grid, eb, _et_valid(surf_edges, dbc_mask), cap_et
+            tri_grid, eb, _et_valid(surf_edges, dbc_mask), cap_et,
+            q_motion=em, gap=gap,
         )
     else:
         et_pairs = jnp.full((cap_et, 2), -1, jnp.int32)
@@ -486,3 +594,153 @@ def _default_H(n):
     while h < 2 * max(n, 1):
         h *= 2
     return h
+
+
+# ---------------------------------------------------------------------------
+# SPMD broad phase: shard the build AND the query transients over devices
+# ---------------------------------------------------------------------------
+
+
+def fused_candidates_spmd(device_mesh, axis, x, surf_verts, surf_edges,
+                          surf_tris, dbc_mask, cap_pt, cap_ee, cap_et,
+                          disp=None, gap=0.0, K=32, with_et=True):
+    """`fused_candidates` under `shard_map`: every broad-phase transient —
+    AABB lists, the build's (N,8) registration sort, the query tiles'
+    (B, 8K) expansions, and the emitted candidate tensors — lives 1/n per
+    device (SURVEY §2.3(b), §5 "chunked pairwise interaction sweeps over
+    sharded surface primitives"; the reference's analog is TBB threads
+    over dynamic per-voxel lists, src/Utils/SpatialHash.hpp:46-201).
+
+    Decomposition:
+      * each device builds a bucket table over ITS shard of the target
+        primitives (same hash space H, same grid geometry via pmin/pmax),
+        entries globalized by the shard's row offset;
+      * the per-shard (H+1, K) tables are all-gathered along the BUCKET-
+        CAPACITY axis — the concatenation is a valid table of capacity
+        n*K, so no cross-device slot allocation is needed;
+      * packed payload rows are all-gathered (rows = global prim ids);
+      * each device then runs the chunked canonical-cell query for ITS
+        shard of the query primitives against the merged table, emitting
+        into a local (cap/n, 2) output with GLOBAL row ids.
+
+    K is the PER-SHARD bucket capacity here, and the overflow channel
+    reports per-shard occupancy — the pipeline's grid_K regrow protocol
+    adapts to the sharded load unchanged. Counts are reported as
+    max(global true count, n * max per-shard count) so cap regrowth sized
+    from them always yields per-shard capacity >= the fullest shard.
+
+    Leading dims of all primitive arrays must divide the axis size
+    (parallel.sharding.shard_mesh_data pads with inert sentinels)."""
+    from jax import shard_map
+
+    n = int(device_mesh.shape[axis])
+    P = jax.sharding.PartitionSpec
+
+    nS = int(surf_tris.shape[0])
+    nE = int(surf_edges.shape[0])
+    nV = int(surf_verts.shape[0])
+    H_tri = _default_H(nS)
+    H_edge = _default_H(nE)
+    cap_pt_loc = -(-int(cap_pt) // n)
+    cap_ee_loc = -(-int(cap_ee) // n)
+    cap_et_loc = -(-int(cap_et) // n)
+
+    # boxes + DBC columns OUTSIDE the shard_map region: they gather from
+    # vertex-sharded arrays (x, disp, dbc_mask), which the auto-partitioner
+    # handles; the results are primitive-aligned and shard cleanly
+    vb = BP.vert_aabbs(x, surf_verts, disp, gap)
+    eb = BP.edge_aabbs(x, surf_edges, disp, gap)
+    tb = BP.tri_aabbs(x, surf_tris, disp, gap)
+    v_dbc = dbc_mask[surf_verts]
+    e_dbc = jnp.all(dbc_mask[surf_edges], axis=1)
+    t_dbc = jnp.all(dbc_mask[surf_tris], axis=1)
+    # relative-motion filter columns (see _query_block docstring); always
+    # on, matching fused_candidates / the dense path exactly
+    vm = prim_motion(x, surf_verts, disp)
+    em = prim_motion(x, surf_edges, disp)
+    tm = prim_motion(x, surf_tris, disp)
+
+    def body(vb, eb, tb, sv, v_dbc, se, e_dbc, st, t_dbc, vm, em, tm):
+        me = jax.lax.axis_index(axis)
+        E_loc = se.shape[0]
+        V_loc = sv.shape[0]
+        S_loc = st.shape[0]
+
+        # shared grid geometry (grid_geometry semantics under collectives)
+        ext_loc = jnp.maximum(
+            jnp.asarray(0.0, vb.dtype),
+            jnp.stack([(b[:, 1] - b[:, 0]).max() for b in (vb, eb, tb)]).max(),
+        )
+        ext = jax.lax.pmax(ext_loc, axis)
+        cell = jnp.maximum(ext, 1e-30) * 1.001
+        origin_loc = jnp.stack([b[:, 0].min(axis=0) for b in (vb, eb, tb)]).min(axis=0)
+        origin = jax.lax.pmin(origin_loc, axis)
+        geom = (origin, cell)
+
+        def merged_grid(boxes, H, extra, n_loc, motion):
+            g = build_grid(boxes, H, K, geom=geom, extra=extra, motion=motion)
+            off = me * n_loc
+            table = jnp.where(g.table >= 0, g.table + off, -1)
+            table = jax.lax.all_gather(table, axis, axis=1, tiled=True)
+            pay = jax.lax.all_gather(g.payload[:-1], axis, axis=0, tiled=True)
+            pay = jnp.concatenate([pay, g.payload[-1:]], axis=0)
+            ov = jax.lax.pmax(g.overflow, axis)
+            return HashGrid(table, pay, origin, cell, H, n * K, ov)
+
+        tri_grid = merged_grid(tb, H_tri, _tri_extra(st, None, t_dbc), S_loc, tm)
+        edge_grid = merged_grid(eb, H_edge, _edge_extra(se, None, e_dbc), E_loc, em)
+
+        def counts(c_loc):
+            return jnp.maximum(
+                jax.lax.psum(c_loc, axis), n * jax.lax.pmax(c_loc, axis)
+            )
+
+        pt_pairs, pt_c, ov1 = query_pairs(
+            tri_grid, vb, _pt_valid(sv, None, v_dbc=v_dbc), cap_pt_loc,
+            q_row0=me * V_loc, q_motion=vm, gap=gap,
+        )
+        ee_pairs, ee_c, ov2 = query_pairs(
+            edge_grid, eb,
+            _ee_valid(se, None, e_dbc=e_dbc, q_off=me * E_loc), cap_ee_loc,
+            q_row0=me * E_loc, q_motion=em, gap=gap,
+        )
+        if with_et:
+            et_pairs, et_c, _ = query_pairs(
+                tri_grid, eb, _et_valid(se, None, e_dbc=e_dbc), cap_et_loc,
+                q_row0=me * E_loc, q_motion=em, gap=gap,
+            )
+        else:
+            et_pairs = jnp.full((cap_et_loc, 2), -1, jnp.int32)
+            et_c = jnp.asarray(0, jnp.int32)
+        return (
+            pt_pairs, counts(pt_c),
+            ee_pairs, counts(ee_c),
+            et_pairs, counts(et_c),
+            jax.lax.pmax(jnp.maximum(ov1, ov2), axis),
+        )
+
+    sharded = shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(
+            P(axis, None, None), P(axis, None, None), P(axis, None, None),
+            P(axis), P(axis), P(axis, None), P(axis), P(axis, None), P(axis),
+            # motion triples: leading-axis prefix spec covers all 3 leaves
+            P(axis), P(axis), P(axis),
+        ),
+        out_specs=(
+            P(axis, None), P(), P(axis, None), P(), P(axis, None), P(), P(),
+        ),
+        check_vma=False,
+    )
+    pt_pairs, pt_count, ee_pairs, ee_count, et_pairs, et_count, ov = sharded(
+        vb, eb, tb,
+        surf_verts, v_dbc, surf_edges, e_dbc, surf_tris, t_dbc,
+        vm, em, tm,
+    )
+    return dict(
+        pt=(pt_pairs, pt_count),
+        ee=(ee_pairs, ee_count),
+        et=(et_pairs, et_count),
+        overflow=ov,
+    )

@@ -14,7 +14,7 @@ pays nothing.
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["activate", "deactivate", "constrain", "active_mesh"]
+__all__ = ["activate", "deactivate", "constrain", "active_mesh", "active_axis"]
 
 _CTX = {"mesh": None, "axis": None}
 
@@ -32,6 +32,10 @@ def deactivate():
 
 def active_mesh():
     return _CTX["mesh"]
+
+
+def active_axis():
+    return _CTX["axis"]
 
 
 def constrain(arr):

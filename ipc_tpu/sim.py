@@ -51,6 +51,12 @@ def _load_shape(path):
         e = np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]], axis=0)
         e = np.unique(np.sort(e, axis=1), axis=0)
         return ("seg", V, e)
+    if ext == ".pt":
+        # codim-0 kinematic point cloud (reference main.cpp:997-1012:
+        # readOBJ of the .pt path, else the same-stem .obj, vertices only)
+        obj = path if os.path.exists(path) else os.path.splitext(path)[0] + ".obj"
+        V, _ = io_mesh.read_obj(obj)
+        return ("pts", V, np.zeros((0, 2), np.int64))
     raise ValueError(f"unsupported shape format: {path}")
 
 
@@ -187,8 +193,8 @@ def assemble(cfg: Config, dtype=np.float64):
 
     # scene-order component tables for the scripts
     comp_ranges_scene = [e["range"] for e in entries]
-    comp_codim = [3 if e["kind"] == "vol" else (2 if e["kind"] == "surf" else 1)
-                  for e in entries]
+    _CODIM = {"vol": 3, "surf": 2, "seg": 1, "pts": 0}
+    comp_codim = [_CODIM[e["kind"]] for e in entries]
     V_all = np.asarray(mesh.x_rest, np.float64)
     surface_mask_all = np.concatenate(
         [surface_mask, np.ones(meta.n_verts - len(surface_mask), bool)]

@@ -1060,20 +1060,59 @@ class IPCStepper:
             # its target (reference Optimizer.cpp:1717-1736); until then
             # the smoothing homotopy keeps the loop alive
             at_fric_target = self.fric_dhat <= self.fric_dhat_target * (1.0 + 1e-12)
-            update_fric = self._solve_fric and not (
-                at_fric_target and p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt
-            )
+            update_fric = self._solve_fric
+            fric_refreshed = False
+            if update_fric and at_fric_target:
+                if p.fric_iter_amt > 0 and fric_iter >= p.fric_iter_amt:
+                    update_fric = False
+                else:
+                    # refreshed-tangent convergence test (Optimizer.cpp:
+                    # 1717-1740): recapture lambda/tangent at the converged
+                    # iterate and probe the Newton direction — if it is
+                    # already below tolerance, the friction fixed point has
+                    # converged. This is the TERMINATION rule for
+                    # fricIterAmt <= 0 scenes (masonryArch's fricIterAmt -1
+                    # looped forever without it).
+                    cand = self._candidates(x)
+                    fric_probe = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
+                    while True:
+                        dx_p, _, _, _, ac = self._search_dir(
+                            x, x_tilde, kappa, dHat, cand, fric_probe, fext,
+                            damp, None, None, self._hs_D
+                        )
+                        if self.sc is None or not self.sc.ensure_active_cap(
+                            int(ac[0]), int(ac[1])
+                        ):
+                            break
+                        self._build_kernels()
+                    if float(jnp.abs(dx_p).max()) < self.target_gres:
+                        update_fric = False
+                    else:
+                        fric = fric_probe  # the refreshed capture — at
+                        # unchanged fric_dhat the loop-bottom recapture
+                        # would be identical, so skip it there
+                        fric_refreshed = True
             if not update_dhat and not update_fric:
                 break
+            if fric_iter >= 1000:
+                # unbounded-fixed-point failsafe: the reference's loop has
+                # no such bound, but an explicit diagnostic beats a silent
+                # hang (cf. its dTol tiny-distance break, Optimizer.cpp:1716)
+                raise RuntimeError(
+                    f"friction/homotopy outer loop did not converge in "
+                    f"{fric_iter} iterations (fricIterAmt={p.fric_iter_amt})"
+                )
             if update_dhat:
                 dHat = max(dHat * 0.5, self.dHat_target)
+                fric_refreshed = False  # the capture depends on dHat
                 if p.adaptive_kappa:
                     cand = self._candidates(x)
                     kappa = self.init_kappa(x, x_tilde, kappa, dHat, cand, fric)
             if update_fric and not at_fric_target:
                 # fricDHat *= 0.5 toward target (Optimizer.cpp:1776-1780)
                 self.fric_dhat = max(self.fric_dhat * 0.5, self.fric_dhat_target)
-            if update_fric or update_dhat:
+                fric_refreshed = False
+            if (update_fric or update_dhat) and not fric_refreshed:
                 cand = self._candidates(x)
                 fric = self._capture_friction(x, state.x_prev, kappa, dHat, cand)
 

@@ -284,3 +284,29 @@ def test_sparse_direct_solver_matches_dense():
         assert np.isfinite(xs[linsys]).all()
     err = np.abs(xs["sparse"] - xs["dense"]).max()
     assert err < 1e-6, err
+
+
+def test_unbounded_fric_iter_terminates():
+    """fricIterAmt <= 0 (masonryArch's `fricIter -1`) must terminate via
+    the refreshed-tangent convergence probe (reference Optimizer.cpp:
+    1717-1740: recapture lambda/tangent at the converged iterate, stop when
+    the refreshed Newton direction is below targetGRes) — without it the
+    outer friction loop spins forever (BATTERY_r3 masonryArch TIMEOUT)."""
+    V, T = cube(1)
+    V = V + np.array([0.0, 0.02, 0.0])  # just above the plane: contact
+    # (and with it friction) is active from the very first step
+    mesh, meta = build_mesh(V, T)
+    hs = HalfSpace(HalfSpaceParams(origin=(0, 0, 0), normal=(0, 1, 0), friction=0.4))
+    p = SimParams(fric_iter_amt=-1)
+    stepper = IPCStepper(mesh, meta, p, halfspaces=[hs])
+    state = stepper.initial_state()
+    # push sideways so friction is genuinely active while it settles
+    import dataclasses
+    state = dataclasses.replace(
+        state, v=state.v + jnp.asarray([1.0, 0.0, 0.0], state.v.dtype)
+    )
+    for _ in range(10):
+        state, stats = stepper.step(state)
+        assert float(state.x[:, 1].min()) > 0.0
+    # sliding decelerates under mu=0.4: friction actually did work
+    assert float(np.mean(np.asarray(state.v)[:, 0])) < 0.7

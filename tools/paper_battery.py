@@ -57,10 +57,11 @@ def _check_assets(path):
     from ipc_tpu.config import _resolve
 
     missing = []
-    for m in set(re.findall(r"input/\S+\.(?:msh|obj|seg|pts)", txt)):
+    for m in set(re.findall(r"input/\S+\.(?:msh|obj|seg|pts|pt)", txt)):
         r = _resolve(m, path)
         if not os.path.exists(r) and not (
-            m.endswith(".seg") and os.path.exists(os.path.splitext(r)[0] + ".obj")
+            m.endswith((".seg", ".pt"))
+            and os.path.exists(os.path.splitext(r)[0] + ".obj")
         ):
             missing.append(m)
     if missing:
@@ -114,6 +115,29 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
     t0 = time.perf_counter()
     done = 0
     doublings = backtracks = newton_total = al_total = 0
+    sysE, sysM, sysL = [], [], []
+
+    def log_conservation(st):
+        """Whole-scene energy / |linear momentum| / |angular momentum|
+        (reference sysE/M/L writers, Optimizer.cpp:3745-3777) — the
+        conservation trend committed with flagship battery records."""
+        from ipc_tpu.energy.elasticity import elasticity_energy_per_elem
+
+        xs = np.asarray(st.x)
+        vs = np.asarray(st.v)
+        m = np.asarray(mesh.mass)[:, None]
+        g = np.asarray(sim.stepper.gravity)
+        e_el = float(
+            np.asarray(
+                elasticity_energy_per_elem(jnp.asarray(st.x), mesh, cfg.energy)
+            ).sum()
+        )
+        E = 0.5 * float((m * vs**2).sum()) - float((m[:, 0] * (xs @ g)).sum()) + e_el
+        M = (m * vs).sum(axis=0)
+        L = (m * np.cross(xs, vs)).sum(axis=0)
+        sysE.append(round(E, 6))
+        sysM.append(round(float(np.linalg.norm(M)), 6))
+        sysL.append(round(float(np.linalg.norm(L)), 6))
     for k in range(n_steps):
         if step_fn is not None:
             prev_state = state
@@ -133,6 +157,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
             newton_total += getattr(st_stats, "iters", 0)
             al_total += getattr(st_stats, "al_iters", 0)
         done += 1
+        log_conservation(state)
         print(f"PROG {json.dumps(dict(step=done, secs=round(time.perf_counter() - t0, 1)))}",
               flush=True)
         if time.perf_counter() - t0 > budget:
@@ -152,6 +177,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
         steps=done, secs=round(secs, 2), status="PASS",
         newton_iters=newton_total, kappa_doublings=doublings,
         intersection_backtracks=backtracks, al_iters=al_total,
+        sysE=sysE, sysM=sysM, sysL=sysL,
     )
     return rec
 
@@ -244,11 +270,15 @@ def main():
         "same program takes 25-35 min regardless of scene size)",
     )
     ap.add_argument(
-        "--route", default="", choices=["", "auto", "cpu-only", "tpu-only"],
+        "--route", default="",
+        choices=["", "auto", "cpu-only", "tpu-only", "cpujit"],
         help="auto: small scenes -> CPU f64 oracle, large -> TPU f32 "
         "production path (the 1-core f64 host cannot finish a 30K-tet "
         "Newton solve inside any practical budget); cpu-only/tpu-only "
-        "run just that half of the split",
+        "run just that half of the split; cpujit: large scenes -> the "
+        "SAME jitted production program on the CPU backend (2-min "
+        "compiles vs the axon tunnel's 25-35 min, uncacheable remote "
+        "compile) — the lane for mid-size scenes",
     )
     ap.add_argument("--route-bytes", type=int, default=150_000,
                     help="mesh-bytes threshold for --route")
@@ -263,10 +293,14 @@ def main():
     import subprocess
 
     def scene_mesh_bytes(path):
+        # count every shape INSTANCE (hitCardHouse is 7x the same mat20x20
+        # mesh — deduping undercounts the scene 7x and mis-routes it to the
+        # 1-core f64 host lane); shapeMatrix N*M*K instances are approximated
+        # by the files listed, which is conservative for tiny seg/pt shapes
         with open(path) as f:
             txt = f.read()
         total = 0
-        for m in set(re.findall(r"input/\S+\.(?:msh|obj|seg|pts)", txt)):
+        for m in re.findall(r"input/\S+\.(?:msh|obj|seg|pts|pt)", txt):
             p = os.path.join("/root/reference", m)
             if os.path.exists(p):
                 total += os.path.getsize(p)
@@ -289,11 +323,17 @@ def main():
                 continue
             if args.route == "tpu-only" and not big:
                 continue
-            platform, dtype = ("tpu", "f32") if big else ("cpu", "f64")
+            if args.route == "cpujit":
+                platform, dtype, jit = ("cpu", "f32", "on") if big else ("cpu", "f64", "off")
+            else:
+                platform, dtype = ("tpu", "f32") if big else ("cpu", "f64")
+                jit = args.jit
+        else:
+            jit = args.jit
         cmd = [
             sys.executable, os.path.abspath(__file__), "--one", path,
             "--steps", str(args.steps), "--budget", str(args.budget),
-            "--platform", platform, "--dtype", dtype,
+            "--platform", platform, "--dtype", dtype, "--jit", jit,
         ]
         rec = None
         try:
