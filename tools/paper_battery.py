@@ -135,9 +135,11 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
         E = 0.5 * float((m * vs**2).sum()) - float((m[:, 0] * (xs @ g)).sum()) + e_el
         M = (m * vs).sum(axis=0)
         L = (m * np.cross(xs, vs)).sum(axis=0)
-        sysE.append(round(E, 6))
-        sysM.append(round(float(np.linalg.norm(M)), 6))
-        sysL.append(round(float(np.linalg.norm(L)), 6))
+        # 6 SIGNIFICANT digits, not 6 decimals: scene energies span 1e-6..1e6
+        # (decimal rounding flattened dolphinFunnel's trend to a constant)
+        sysE.append(float(f"{E:.6g}"))
+        sysM.append(float(f"{float(np.linalg.norm(M)):.6g}"))
+        sysL.append(float(f"{float(np.linalg.norm(L)):.6g}"))
     for k in range(n_steps):
         if step_fn is not None:
             prev_state = state
@@ -190,7 +192,7 @@ _PRIORITY = (
 )
 
 
-def _scene_list(only=""):
+def _scene_list(only="", skip=""):
     scenes = sorted(glob.glob(os.path.join(SCENES_DIR, "*.txt")))
     scenes += sorted(glob.glob(os.path.join(SCENES_DIR, "11_erleben", "*.txt")))
     # every scalability size; ones whose mesh asset the reference checkout
@@ -198,6 +200,8 @@ def _scene_list(only=""):
     scenes += sorted(glob.glob(os.path.join(SCENES_DIR, "21_scalability", "*.txt")))
     if only:
         scenes = [s for s in scenes if only in s]
+    for pat in filter(None, skip.split(",")):
+        scenes = [s for s in scenes if pat not in s]
 
     def rank(path):
         for i, key in enumerate(_PRIORITY):
@@ -284,6 +288,9 @@ def main():
                     help="mesh-bytes threshold for --route")
     ap.add_argument("--resume", action="store_true",
                     help="skip scenes already recorded in --out")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated substrings of scene paths to "
+                    "exclude (e.g. scenes already covered by another lane)")
     args = ap.parse_args()
     if args.one:
         _child(args)
@@ -312,7 +319,7 @@ def main():
         with open(args.out) as f:
             results = json.load(f)
         done = {r["scene"] for r in results}
-    for path in _scene_list(args.only):
+    for path in _scene_list(args.only, args.skip):
         name = _scene_key(path)
         if name in done:
             continue
