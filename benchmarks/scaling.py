@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_size(n_cells, steps, dtype):
+def run_size(n_cells, steps, dtype, settle=0):
     import jax
 
     import __graft_entry__ as ge
@@ -33,37 +33,74 @@ def run_size(n_cells, steps, dtype):
     state = stepper.initial_state()
 
     t0 = time.perf_counter()
-    state, stats = step(state)
-    jax.block_until_ready(state.x)
+    lowered = step.lower(state)
+    compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
+    # XLA's own cost model of one step: bytes touched + flops, for the
+    # achieved-bandwidth line (HBM is the binding resource for this
+    # gather/scatter workload, not the MXU; VERDICT r3 "weak" #6)
+    cost = {}
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        cost = {
+            "bytes_accessed_per_step": float(ca.get("bytes accessed", 0.0)),
+            "flops_per_step": float(ca.get("flops", 0.0)),
+        }
+    except Exception:
+        pass
+
+    state, stats = compiled(state)
+    jax.block_until_ready(state.x)
+
+    # settle into the impact phase before timing: measuring from the
+    # initial free fall reports ~1 Newton iteration/step and flatters
+    # sec/step (round-3 review) — the contact-rich regime is the claim
+    for _ in range(settle):
+        state, stats = compiled(state)
+    jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()
-    iters = 0
+    iters_acc = []  # device scalars; summed AFTER the timed loop (no sync)
     for _ in range(steps):
-        state, stats = step(state)
+        state, stats = compiled(state)
+        iters_acc.append(stats.newton_iters)
     jax.block_until_ready(state.x)
     wall = time.perf_counter() - t0
+    total_iters = int(np.sum([np.asarray(i) for i in iters_acc]))
 
     assert np.isfinite(np.asarray(state.x)).all()
-    return dict(
+    rec = dict(
         n_cells=n_cells,
         n_tets=n_tets,
         n_verts=n_verts,
         steps=steps,
+        settle_steps=settle,
         sec_per_step=round(wall / steps, 4),
         steps_per_sec=round(steps / wall, 4),
+        newton_iters_total=total_iters,
+        newton_iters_per_step=round(total_iters / steps, 2),
+        sec_per_newton_iter=round(wall / max(total_iters, 1), 4),
         compile_sec=round(compile_s, 1),
         newton_iters_last=int(stats.newton_iters),
         pt_pairs=int(stats.pt_count),
         ee_pairs=int(stats.ee_count),
         platform=jax.default_backend(),
+        **cost,
     )
+    if cost.get("bytes_accessed_per_step"):
+        achieved = cost["bytes_accessed_per_step"] / (wall / steps)
+        rec["achieved_gbytes_per_sec"] = round(achieved / 1e9, 1)
+    return rec
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="4,8,12")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--settle", type=int, default=0,
+                    help="un-timed steps first (reach the impact phase)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -75,7 +112,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.f64 else np.float32
     for s in [int(v) for v in args.sizes.split(",")]:
-        rec = run_size(s, args.steps, dtype)
+        rec = run_size(s, args.steps, dtype, settle=args.settle)
         print(json.dumps(rec), flush=True)
 
 

@@ -22,7 +22,10 @@ def test_entry_lowers():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
+    # small scene for the fast test lane; the driver runs the default
+    # (n_cells=10, 12K tets) for the round artifact
+    monkeypatch.setenv("IPC_DRYRUN_CELLS", "3")
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
