@@ -69,7 +69,7 @@ def main():
         stepper._sv = stepper.mesh.surf_verts
         stepper._dbc_sv = stepper.mesh.dbc_mask[stepper.mesh.surf_verts]
         if stepper.sc is not None:
-            stepper.sc.mesh = stepper.mesh
+            stepper.sc.rebind_mesh(stepper.mesh)
         spmd.activate(device_mesh)
         try:
             stepper._build_kernels()

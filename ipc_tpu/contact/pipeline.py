@@ -139,6 +139,51 @@ class SelfContact:
         # count — not the candidate cap — sets the inner-loop cost
         self.cap_fric = self.cap_act_pt + self.cap_act_ee
         self._eps_x_table = None  # filled lazily per ee candidate build
+        # static oversized-primitive classification (rest shape): kinematic
+        # planes/containers whose extent would inflate the shared grid cell
+        # are swept densely instead (SH.dense_pairs; the 1_squeezeOut
+        # grid_K=80492 / 120 GB failure)
+        self.big = self._classify_big(mesh) if self.broadphase == "grid" else None
+
+    BIG_FACTOR = 8.0  # prim counts as oversized past this x median extent
+    BIG_MAX = 512  # dense-sweep budget; only the largest qualify
+
+    def rebind_mesh(self, mesh):
+        """Point the pipeline at a reshaped mesh (e.g. shard_mesh_data's
+        padded arrays) — the static big-prim classification must be redone
+        against the new primitive rows."""
+        self.mesh = mesh
+        self.big = self._classify_big(mesh) if self.broadphase == "grid" else None
+
+    def _classify_big(self, mesh):
+        import numpy as np
+
+        xr = np.asarray(mesh.x_rest)
+
+        def extents(prims):
+            P = xr[np.maximum(prims, 0)]  # (N,k,3); sentinel rows degenerate
+            return (P.max(axis=1) - P.min(axis=1)).max(axis=1)
+
+        out = {}
+        any_big = False
+        for name, prims in (("tri", np.asarray(mesh.surf_tris)),
+                            ("edge", np.asarray(mesh.surf_edges))):
+            ids = mask = None
+            if prims.shape[0]:
+                ext = extents(prims)
+                thr = self.BIG_FACTOR * max(float(np.median(ext)), 1e-30)
+                sel = np.nonzero(ext > thr)[0]
+                if sel.size > self.BIG_MAX:
+                    sel = sel[np.argsort(ext[sel])[-self.BIG_MAX:]]
+                if sel.size:
+                    any_big = True
+                    m = np.zeros(prims.shape[0], bool)
+                    m[sel] = True
+                    ids = jnp.asarray(np.sort(sel).astype(np.int32))
+                    mask = jnp.asarray(m)
+            out[name + "_ids"] = ids
+            out[name + "_mask"] = mask
+        return out if any_big else None
 
     # -- candidate construction -------------------------------------------
 
@@ -153,9 +198,11 @@ class SelfContact:
             from ipc_tpu.parallel import spmd
 
             dev_mesh = spmd.active_mesh()
-            if dev_mesh is not None:
+            if dev_mesh is not None and self.big is None:
                 # sharded broad phase: build + query transients live 1/n
-                # per device (fused_candidates_spmd docstring)
+                # per device (fused_candidates_spmd docstring). Scenes with
+                # oversized prims take the replicated path below for now
+                # (the dense big sweep is not yet expressed under shard_map)
                 fused = SH.fused_candidates_spmd(
                     dev_mesh, spmd.active_axis(), x,
                     mesh.surf_verts, mesh.surf_edges, mesh.surf_tris,
@@ -166,7 +213,7 @@ class SelfContact:
                 fused = SH.fused_candidates(
                     x, mesh.surf_verts, mesh.surf_edges, mesh.surf_tris,
                     mesh.dbc_mask, self.cap_pt, self.cap_ee, self.cap_et,
-                    disp, gap, K=self.grid_K, with_et=with_et,
+                    disp, gap, K=self.grid_K, with_et=with_et, big=self.big,
                 )
             pt_pairs, pt_count = fused["pt"]
             ee_pairs, ee_count = fused["ee"]
@@ -507,7 +554,7 @@ class SelfContact:
         if self.broadphase == "grid":
             pairs, count, _ = SH.et_candidates(
                 x, mesh.surf_edges, mesh.surf_tris, self.cap_et, disp=disp,
-                dbc_mask=mesh.dbc_mask, K=self.grid_K,
+                dbc_mask=mesh.dbc_mask, K=self.grid_K, big=self.big,
             )
         else:
             pairs, count = BP.et_candidates(
@@ -526,7 +573,7 @@ class SelfContact:
         if self.broadphase == "grid":
             pairs, count, _ = SH.et_candidates(
                 x, mesh.surf_edges, mesh.surf_tris, self.cap_et,
-                dbc_mask=mesh.dbc_mask, K=self.grid_K,
+                dbc_mask=mesh.dbc_mask, K=self.grid_K, big=self.big,
             )
         else:
             pairs, count = BP.et_candidates(

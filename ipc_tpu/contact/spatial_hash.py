@@ -94,16 +94,32 @@ class HashGrid:
         self.overflow = overflow  # int32: max bucket occupancy seen
 
 
-def grid_geometry(*box_groups, min_cell=1e-30):
+def grid_geometry(*box_groups, min_cell=1e-30, excludes=None):
     """Shared (origin, cell) over several AABB sets so one grid build can
-    serve queries from all of them."""
-    ext = jnp.maximum(
-        jnp.asarray(0.0, box_groups[0].dtype),
-        jnp.stack([(b[:, 1] - b[:, 0]).max() for b in box_groups]).max(),
-    )
+    serve queries from all of them.
+
+    excludes: optional per-group bool masks of OVERSIZED primitives (the
+    dense big-prim path, see dense_pairs): excluded prims contribute
+    neither to the cell size nor to the origin — one kinematic plane
+    triangle must not inflate the cell until every deformable primitive
+    lands in the same bucket (the 1_squeezeOut grid_K=80492 failure; the
+    reference never inserts obstacle prims at all, its hash covers only
+    the deformable mesh, Optimizer.cpp:259 sh.build(result,...))."""
+    if excludes is None:
+        excludes = (None,) * len(box_groups)
+    exts, los = [], []
+    for b, m in zip(box_groups, excludes):
+        e = b[:, 1] - b[:, 0]
+        lo = b[:, 0]
+        if m is not None:
+            e = jnp.where(m[:, None], jnp.asarray(0.0, e.dtype), e)
+            lo = jnp.where(m[:, None], jnp.asarray(jnp.inf, lo.dtype), lo)
+        exts.append(e.max())
+        los.append(lo.min(axis=0))
+    ext = jnp.maximum(jnp.asarray(0.0, box_groups[0].dtype), jnp.stack(exts).max())
     cell = jnp.maximum(ext, min_cell) * 1.001  # margin >> f32 eps so
     # floor((lo+ext)/cell) - floor(lo/cell) <= 1 holds under rounding
-    origin = jnp.stack([b[:, 0].min(axis=0) for b in box_groups]).min(axis=0)
+    origin = jnp.stack(los).min(axis=0)
     return origin, cell
 
 
@@ -144,16 +160,21 @@ def _pack_payload(boxes, i0, i1, extra, motion=None):
 prim_motion = BP.prim_motion
 
 
-def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None, motion=None):
+def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None, motion=None,
+               exclude=None):
     """Insert target AABBs (N,2,3) into an (H+1,K) bucket table.
 
     extra: optional (N,E) int32 family columns (vertex ids, DBC bits)
     appended to the packed payload so queries need no further t-side
     gathers. motion: optional prim_motion() triple appended as 10 f32
-    columns for the query-side relative-motion filter."""
+    columns for the query-side relative-motion filter. exclude: optional
+    (N,) bool — oversized prims handled by the dense big-prim path are
+    never inserted (and never count toward bucket overflow); their payload
+    rows are packed but unreachable."""
     N = boxes.shape[0]
     if geom is None:
-        geom = grid_geometry(boxes, min_cell=min_cell)
+        geom = grid_geometry(boxes, min_cell=min_cell,
+                             excludes=None if exclude is None else (exclude,))
     origin, cell = geom
     corner, i0, i1 = _corner_cells(boxes, origin, cell)
     h = _cell_hash(corner, H)  # (N,8)
@@ -164,6 +185,8 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None, motion=None):
     first = jnp.argmax(eq, axis=2)
     keep = first == jnp.arange(8)[None, :]
     cells = jnp.where(keep, h, H)
+    if exclude is not None:
+        cells = jnp.where(exclude[:, None], H, cells)
     flat_h = cells.reshape(-1)
     flat_p = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, 8)).reshape(-1)
     order = jnp.argsort(flat_h)
@@ -406,6 +429,204 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS,
 
 
 # ---------------------------------------------------------------------------
+# oversized-primitive (dense) path
+#
+# The canonical-cell grid requires cell >= the max inserted AABB extent, so
+# ONE oversized primitive (a kinematic plane/container triangle spanning the
+# whole domain) inflates the cell until every deformable primitive lands in
+# a handful of buckets — 1_squeezeOut regrew grid_K to 80,492 (120 GB of
+# tables). The reference never meets this: its hash holds only the
+# deformable surface and obstacle prims are query-side walkers
+# (MeshCO.cpp:1091/1404 queryTriangleForPoints against the deformable grid).
+# The fixed-shape TPU analog: statically classify prims whose REST extent is
+# far above the population (SelfContact._classify_big), keep them out of the
+# grid AND out of the grid's cell-size computation, and sweep them against
+# all primitives with a dense chunked (Q x B) AABB+motion test — B is small
+# (<= 512), so the dense product is cheap, branch-free VPU work.
+# ---------------------------------------------------------------------------
+
+
+def _gather_motion(m, ids):
+    rb, u, w = m
+    return rb[ids], u[ids], w[ids]
+
+
+def _reach_ok(q_rb, q_u, q_w, t_rb, t_u, t_w, gap):
+    """Relative-motion reachability on raw (Q,*) x (B,*) arrays — the same
+    f32 formula and 1e-5 inflation as _query_block, so the dense and grid
+    paths emit identical candidate sets."""
+    q_lo = q_rb[:, 0].astype(jnp.float32)[:, None, :]
+    q_hi = q_rb[:, 1].astype(jnp.float32)[:, None, :]
+    t_lo = t_rb[None, :, 0].astype(jnp.float32)
+    t_hi = t_rb[None, :, 1].astype(jnp.float32)
+    g = jnp.maximum(jnp.maximum(q_lo - t_hi, t_lo - q_hi), 0.0)
+    d2 = jnp.sum(g * g, axis=-1)
+    du = q_u.astype(jnp.float32)[:, None, :] - t_u.astype(jnp.float32)[None]
+    rel = (
+        jnp.sqrt(jnp.sum(du * du, axis=-1))
+        + q_w.astype(jnp.float32)[:, None]
+        + t_w.astype(jnp.float32)[None]
+    )
+    reach = (jnp.asarray(gap, jnp.float32) + rel) * jnp.float32(1.0 + 1e-5)
+    return d2 <= reach * reach
+
+
+def dense_pairs(q_boxes, q_motion, t_ids, t_boxes, t_motion, valid_fn, t_extra,
+                cap, gap=0.0, swap=False, q_row0=0, tile_elems=_TILE_ELEMS):
+    """(q, t) candidates of ALL query prims against a SMALL oversized set.
+
+    t_ids (B,) GLOBAL ids of the big prims; t_boxes/t_motion/t_extra their
+    gathered rows. valid_fn has the query_pairs contract (t_ids and extra
+    arrive (1,B)-broadcast). Chunked over Q like query_pairs when Q x B
+    exceeds the tile budget. swap=True emits (t, q) rows (big edges swept
+    with triangles as the query side). Returns (pairs (cap,2) padded -1,
+    true count)."""
+    Q = q_boxes.shape[0]
+    B = t_boxes.shape[0]
+    t_ids_b = t_ids[None, :]
+    extra_b = None if t_extra is None else t_extra[None, :, :]
+    tlo = t_boxes[None, :, 0].astype(jnp.float32)
+    thi = t_boxes[None, :, 1].astype(jnp.float32)
+
+    def block(qb, qm, q_rows):
+        qlo = qb[:, 0].astype(jnp.float32)[:, None, :]
+        qhi = qb[:, 1].astype(jnp.float32)[:, None, :]
+        sep = jnp.any((qlo > thi) | (tlo > qhi), axis=2)
+        m = ~sep & valid_fn(q_rows, t_ids_b, extra_b)
+        if qm is not None and t_motion is not None:
+            m = m & _reach_ok(qm[0], qm[1], qm[2], *t_motion, gap)
+        return m
+
+    def pack(flat, start):
+        ok = flat >= 0
+        fi = jnp.maximum(flat, 0)
+        qi = q_row0 + start + fi // B
+        ti = t_ids[fi % B]
+        a, b = (ti, qi) if swap else (qi, ti)
+        return jnp.stack(
+            [jnp.where(ok, a, -1), jnp.where(ok, b, -1)], axis=1
+        ).astype(jnp.int32), ok
+
+    if Q * B <= 2 * tile_elems:
+        q_rows = jnp.arange(Q, dtype=jnp.int32)
+        m = block(q_boxes, q_motion, q_rows)
+        count = m.sum(dtype=jnp.int32)
+        (flat,) = jnp.nonzero(m.reshape(-1), size=cap, fill_value=-1)
+        pairs, _ = pack(flat, 0)
+        return pairs, count
+
+    QB = max(256, tile_elems // max(B, 1))
+    n_tiles = -(-Q // QB)
+    pad = n_tiles * QB - Q
+    qb_all = (
+        jnp.concatenate(
+            [q_boxes, jnp.broadcast_to(q_boxes[:1], (pad,) + q_boxes.shape[1:])]
+        ) if pad else q_boxes
+    )
+    qm_all = None
+    if q_motion is not None:
+        qm_all = tuple(
+            jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+            ) if pad else a
+            for a in q_motion
+        )
+    tile_cap = min(cap, QB * B)
+
+    def body(i, carry):
+        out, total, off = carry
+        start = i * QB
+        blk = jax.lax.dynamic_slice_in_dim(qb_all, start, QB)
+        mblk = (
+            None if qm_all is None
+            else tuple(jax.lax.dynamic_slice_in_dim(a, start, QB) for a in qm_all)
+        )
+        q_rows = start + jnp.arange(QB, dtype=jnp.int32)
+        m = block(blk, mblk, q_rows) & (q_rows < Q)[:, None]
+        cnt = m.sum(dtype=jnp.int32)
+        (flat,) = jnp.nonzero(m.reshape(-1), size=tile_cap, fill_value=-1)
+        rows, ok = pack(flat, start)
+        dst = jnp.where(ok, off + jnp.arange(tile_cap, dtype=jnp.int32), cap)
+        out = out.at[dst].set(rows, mode="drop")
+        return (
+            out,
+            total + cnt,
+            jnp.minimum(off + jnp.minimum(cnt, tile_cap), cap),
+        )
+
+    out0 = jnp.full((cap, 2), -1, jnp.int32)
+    z = jnp.asarray(0, jnp.int32)
+    out, total, _ = jax.lax.fori_loop(0, n_tiles, body, (out0, z, z))
+    return out, total
+
+
+def append_pairs(out, count, cap, extra_pairs, extra_count):
+    """Append a packed (capX,2) pair list at the running offset of `out`
+    ((cap,2), -1-padded, `count` true pairs so far). Writes past cap drop;
+    the summed count still records the overflow for the regrow protocol."""
+    ok = extra_pairs[:, 0] >= 0
+    base = jnp.minimum(count, cap)
+    dst = jnp.where(
+        ok, base + jnp.arange(extra_pairs.shape[0], dtype=jnp.int32), cap
+    )
+    out = out.at[dst].set(extra_pairs, mode="drop")
+    return out, count + extra_count
+
+
+def _q_excl(valid_fn, big_mask):
+    """Drop rows whose QUERY prim is oversized (covered by dense_pairs;
+    as grid queries their 8-corner walk would miss interior cells)."""
+    def valid(q_rows, t_ids, extra):
+        return valid_fn(q_rows, t_ids, extra) & ~big_mask[q_rows][:, None]
+
+    return valid
+
+
+def _ee_dense_valid(surf_edges, e_dbc, big_mask):
+    """EE validity for the dense pass (t = big edges): small-q pairs are
+    unique by construction (t is big, q is not); big-q pairs dedup by
+    global order, exactly once per unordered pair across grid+dense."""
+    def valid(q_rows, t_ids, extra):
+        ev = surf_edges[q_rows]
+        a, b = ev[:, 0][:, None], ev[:, 1][:, None]
+        shared = (
+            (a == extra[..., 0]) | (a == extra[..., 1])
+            | (b == extra[..., 0]) | (b == extra[..., 1])
+        )
+        both_dbc = e_dbc[q_rows][:, None] & (extra[..., 2] > 0)
+        ordered = (~big_mask[q_rows][:, None]) | (q_rows[:, None] < t_ids)
+        return ordered & ~shared & ~both_dbc
+
+    return valid
+
+
+def _te_dense_valid(surf_tris, dbc_mask, tri_big_mask, t_dbc=None):
+    """Triangle-as-query vs big-edge-as-target validity (the swapped ET
+    dense pass); big tris excluded (already covered by the edgesxbig-tris
+    pass)."""
+    if t_dbc is None:
+        t_dbc = (
+            jnp.zeros(surf_tris.shape[0], bool)
+            if dbc_mask is None
+            else jnp.all(dbc_mask[surf_tris], axis=1)
+        )
+
+    def valid(q_rows, t_ids, extra):
+        tv = surf_tris[q_rows]  # (Q,3)
+        shared = jnp.zeros((), bool)
+        for i in range(3):
+            c = tv[:, i][:, None]
+            shared = shared | (c == extra[..., 0]) | (c == extra[..., 1])
+        both_dbc = t_dbc[q_rows][:, None] & (extra[..., 2] > 0)
+        ok = ~shared & ~both_dbc
+        if tri_big_mask is not None:
+            ok = ok & ~tri_big_mask[q_rows][:, None]
+        return ok
+
+    return valid
+
+
+# ---------------------------------------------------------------------------
 # candidate generators (same contract as contact/broadphase.py)
 # ---------------------------------------------------------------------------
 
@@ -516,24 +737,61 @@ def ee_candidates(x, surf_edges, dbc_mask, cap, disp=None, gap=0.0, H=None, K=32
                        q_motion=em, gap=gap)
 
 
+def _dense_et(et_pairs, et_count, cap_et, eb, em, tb, tm, surf_edges,
+              surf_tris, dbc_mask, big, t_extra, e_extra, gap):
+    """The two dense ET passes (all edges x big tris; non-big tris x big
+    edges, swapped) appended to the grid ET output. Complete and disjoint:
+    grid covers small x small, pass 1 covers * x big-tri, pass 2 covers
+    big-edge x small-tri."""
+    bt_ids, bt_mask = big.get("tri_ids"), big.get("tri_mask")
+    be_ids = big.get("edge_ids")
+    if bt_ids is not None:
+        d_pairs, d_cnt = dense_pairs(
+            eb, em, bt_ids, tb[bt_ids], _gather_motion(tm, bt_ids),
+            _et_valid(surf_edges, dbc_mask), t_extra[bt_ids], cap_et, gap=gap,
+        )
+        et_pairs, et_count = append_pairs(et_pairs, et_count, cap_et,
+                                          d_pairs, d_cnt)
+    if be_ids is not None:
+        d_pairs, d_cnt = dense_pairs(
+            tb, tm, be_ids, eb[be_ids], _gather_motion(em, be_ids),
+            _te_dense_valid(surf_tris, dbc_mask, bt_mask),
+            e_extra[be_ids], cap_et, gap=gap, swap=True,
+        )
+        et_pairs, et_count = append_pairs(et_pairs, et_count, cap_et,
+                                          d_pairs, d_cnt)
+    return et_pairs, et_count
+
+
 def et_candidates(x, surf_edges, surf_tris, cap, disp=None, gap=0.0,
-                  dbc_mask=None, H=None, K=32):
+                  dbc_mask=None, H=None, K=32, big=None):
     nS = surf_tris.shape[0]
     H = H or _default_H(nS)
     eb = BP.edge_aabbs(x, surf_edges, disp, gap)
     tb = BP.tri_aabbs(x, surf_tris, disp, gap)
     em = prim_motion(x, surf_edges, disp)
     tm = prim_motion(x, surf_tris, disp)
-    geom = grid_geometry(eb, tb)
-    grid = build_grid(tb, H, K, geom=geom, extra=_tri_extra(surf_tris, dbc_mask),
-                      motion=tm)
-    return query_pairs(grid, eb, _et_valid(surf_edges, dbc_mask), cap,
-                       q_motion=em, gap=gap)
+    t_extra = _tri_extra(surf_tris, dbc_mask)
+    bt_mask = big.get("tri_mask") if big else None
+    be_mask = big.get("edge_mask") if big else None
+    geom = grid_geometry(eb, tb, excludes=(be_mask, bt_mask))
+    grid = build_grid(tb, H, K, geom=geom, extra=t_extra, motion=tm,
+                      exclude=bt_mask)
+    valid = _et_valid(surf_edges, dbc_mask)
+    if be_mask is not None:
+        valid = _q_excl(valid, be_mask)
+    pairs, count, ov = query_pairs(grid, eb, valid, cap, q_motion=em, gap=gap)
+    if big:
+        e_extra = _edge_extra(surf_edges, dbc_mask)
+        pairs, count = _dense_et(pairs, count, cap, eb, em, tb, tm,
+                                 surf_edges, surf_tris, dbc_mask, big,
+                                 t_extra, e_extra, gap)
+    return pairs, count, ov
 
 
 def fused_candidates(x, surf_verts, surf_edges, surf_tris, dbc_mask,
                      cap_pt, cap_ee, cap_et, disp=None, gap=0.0, K=32,
-                     with_et=True):
+                     with_et=True, big=None):
     """One broad phase serving all three queries of a Newton iteration.
 
     Computes each primitive family's swept+inflated AABBs ONCE, builds ONE
@@ -559,28 +817,67 @@ def fused_candidates(x, surf_verts, surf_edges, surf_tris, dbc_mask,
     tm = prim_motion(x, surf_tris, disp)
     # one shared geometry: vert/edge boxes are contained in the tri boxes'
     # extent (every surface vert/edge belongs to a triangle), but include
-    # them anyway so packed cell coords are provably non-negative
-    tgeom = grid_geometry(vb, eb, tb)
+    # them anyway so packed cell coords are provably non-negative.
+    # Oversized prims (big) are excluded from the geometry, the tables, and
+    # the query rows; dense_pairs sweeps them below.
+    bt_mask = big.get("tri_mask") if big else None
+    be_mask = big.get("edge_mask") if big else None
+    t_extra = _tri_extra(surf_tris, dbc_mask)
+    e_extra = _edge_extra(surf_edges, dbc_mask)
+    tgeom = grid_geometry(vb, eb, tb, excludes=(None, be_mask, bt_mask))
     tri_grid = build_grid(tb, _default_H(nS), K, geom=tgeom,
-                          extra=_tri_extra(surf_tris, dbc_mask), motion=tm)
+                          extra=t_extra, motion=tm, exclude=bt_mask)
     edge_grid = build_grid(eb, _default_H(nE), K, geom=tgeom,
-                           extra=_edge_extra(surf_edges, dbc_mask), motion=em)
+                           extra=e_extra, motion=em, exclude=be_mask)
+    ee_valid = _ee_valid(surf_edges, dbc_mask)
+    et_valid = _et_valid(surf_edges, dbc_mask)
+    if be_mask is not None:
+        ee_valid = _q_excl(ee_valid, be_mask)
+        et_valid = _q_excl(et_valid, be_mask)
     pt_pairs, pt_count, ov1 = query_pairs(
         tri_grid, vb, _pt_valid(surf_verts, dbc_mask), cap_pt,
         q_motion=vm, gap=gap,
     )
     ee_pairs, ee_count, ov2 = query_pairs(
-        edge_grid, eb, _ee_valid(surf_edges, dbc_mask), cap_ee,
+        edge_grid, eb, ee_valid, cap_ee,
         q_motion=em, gap=gap,
     )
     if with_et:
         et_pairs, et_count, _ = query_pairs(
-            tri_grid, eb, _et_valid(surf_edges, dbc_mask), cap_et,
+            tri_grid, eb, et_valid, cap_et,
             q_motion=em, gap=gap,
         )
     else:
         et_pairs = jnp.full((cap_et, 2), -1, jnp.int32)
         et_count = jnp.asarray(0, jnp.int32)
+    if big:
+        bt_ids = big.get("tri_ids")
+        be_ids = big.get("edge_ids")
+        if bt_ids is not None:
+            d_pairs, d_cnt = dense_pairs(
+                vb, vm, bt_ids, tb[bt_ids], _gather_motion(tm, bt_ids),
+                _pt_valid(surf_verts, dbc_mask), t_extra[bt_ids],
+                cap_pt, gap=gap,
+            )
+            pt_pairs, pt_count = append_pairs(pt_pairs, pt_count, cap_pt,
+                                              d_pairs, d_cnt)
+        if be_ids is not None:
+            e_dbc = (
+                jnp.zeros(surf_edges.shape[0], bool) if dbc_mask is None
+                else jnp.all(dbc_mask[surf_edges], axis=1)
+            )
+            d_pairs, d_cnt = dense_pairs(
+                eb, em, be_ids, eb[be_ids], _gather_motion(em, be_ids),
+                _ee_dense_valid(surf_edges, e_dbc, be_mask),
+                e_extra[be_ids], cap_ee, gap=gap,
+            )
+            ee_pairs, ee_count = append_pairs(ee_pairs, ee_count, cap_ee,
+                                              d_pairs, d_cnt)
+        if with_et:
+            et_pairs, et_count = _dense_et(
+                et_pairs, et_count, cap_et, eb, em, tb, tm,
+                surf_edges, surf_tris, dbc_mask, big, t_extra, e_extra, gap,
+            )
     return dict(
         pt=(pt_pairs, pt_count),
         ee=(ee_pairs, ee_count),

@@ -110,3 +110,113 @@ def test_grid_solver_equivalence():
             state, _ = st.step(state)
         xs[bp] = np.asarray(state.x)
     np.testing.assert_allclose(xs["dense"], xs["grid"], atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# oversized-primitive (dense big-prim) path
+# ---------------------------------------------------------------------------
+
+
+def _eeset(pairs):
+    p = np.asarray(pairs)
+    return set(frozenset(r) for r in p[p[:, 0] >= 0])
+
+
+def _big_arrays():
+    """The mat scene plus a giant kinematic quad just beneath it (the
+    1_squeezeOut plane.obj failure class: obstacle extent >> deformable
+    edge length inflates the shared grid cell until one bucket holds most
+    primitives)."""
+    mesh, meta = _scene()
+    x = np.asarray(mesh.x_rest)
+    n0 = x.shape[0]
+    lo, hi = x.min(0), x.max(0)
+    c = (lo + hi) / 2
+    span = 50.0 * float((hi - lo).max())
+    y = float(lo[1]) - 0.005
+    quad = np.array(
+        [
+            [c[0] - span, y, c[2] - span],
+            [c[0] + span, y, c[2] - span],
+            [c[0] + span, y, c[2] + span],
+            [c[0] - span, y, c[2] + span],
+        ]
+    )
+    xx = np.vstack([x, quad])
+    qt = np.array([[n0, n0 + 1, n0 + 2], [n0, n0 + 2, n0 + 3]])
+    qe = np.array(
+        [[n0, n0 + 1], [n0 + 1, n0 + 2], [n0 + 2, n0 + 3],
+         [n0 + 3, n0], [n0, n0 + 2]]
+    )
+    sv = np.concatenate([np.asarray(mesh.surf_verts), np.arange(n0, n0 + 4)])
+    st = np.vstack([np.asarray(mesh.surf_tris), qt])
+    se = np.vstack([np.asarray(mesh.surf_edges), qe])
+    dbc = np.zeros(n0 + 4, bool)
+    dbc[n0:] = True
+    nS, nE = st.shape[0], se.shape[0]
+    big = dict(
+        tri_ids=jnp.asarray(np.arange(nS - 2, nS, dtype=np.int32)),
+        tri_mask=jnp.asarray(np.arange(nS) >= nS - 2),
+        edge_ids=jnp.asarray(np.arange(nE - 5, nE, dtype=np.int32)),
+        edge_mask=jnp.asarray(np.arange(nE) >= nE - 5),
+    )
+    return (
+        jnp.asarray(xx), jnp.asarray(sv), jnp.asarray(se), jnp.asarray(st),
+        jnp.asarray(dbc), big,
+    )
+
+
+@pytest.mark.parametrize("disp_seed", [None, 1])
+def test_big_prim_dense_parity(disp_seed):
+    """fused_candidates with the big-prim dense path == the dense O(N^2)
+    oracle on the SAME combined arrays, and the grid's bucket occupancy
+    stays small (the fix's whole point)."""
+    x, sv, se, st, dbc, big = _big_arrays()
+    disp = None
+    if disp_seed is not None:
+        rng = np.random.default_rng(disp_seed)
+        disp = jnp.asarray(rng.uniform(-0.03, 0.03, x.shape))
+    gap = 0.03
+    cap = 400000
+    fused = SH.fused_candidates(
+        x, sv, se, st, dbc, cap, cap, cap, disp, gap, K=256, big=big
+    )
+    d_pt, n_pt = BP.pt_candidates(x, sv, st, dbc, cap, disp, gap)
+    d_ee, n_ee = BP.ee_candidates(x, se, dbc, cap, disp, gap)
+    d_et, n_et = BP.et_candidates(x, se, st, cap, disp, gap, dbc)
+    assert _pairset(fused["pt"][0]) == _pairset(d_pt)
+    assert int(fused["pt"][1]) == int(n_pt)
+    assert _eeset(fused["ee"][0]) == _eeset(d_ee)
+    assert int(fused["ee"][1]) == int(n_ee)
+    assert _pairset(fused["et"][0]) == _pairset(d_et)
+    assert int(fused["et"][1]) == int(n_et)
+    # the quad must actually produce contact candidates for this test to
+    # mean anything, and excluding it must keep the buckets shallow
+    assert int(n_pt) > 0 and int(n_et) > 0
+    assert int(fused["overflow"]) <= 256
+
+
+def test_big_prim_et_candidates_parity():
+    x, sv, se, st, dbc, big = _big_arrays()
+    cap = 400000
+    rng = np.random.default_rng(3)
+    disp = jnp.asarray(rng.uniform(-0.02, 0.02, x.shape))
+    d_et, n_et = BP.et_candidates(x, se, st, cap, disp, 0.02, dbc)
+    # K=256 as in the other parity tests: at K=64 the per-query-row slot
+    # cap overflows on this dense scene (production detects that via the
+    # overflow channel and regrows; parity tests want the lossless regime)
+    g_et, ng, ov = SH.et_candidates(x, se, st, cap, disp, 0.02, dbc, K=256,
+                                    big=big)
+    assert _pairset(g_et) == _pairset(d_et)
+    assert int(ng) == int(n_et)
+    assert int(ov) <= 256
+
+
+def test_classify_big():
+    """SelfContact's static classification: None on uniform scenes, the
+    obstacle prims on mixed ones."""
+    from ipc_tpu.contact.pipeline import SelfContact
+
+    mesh, meta = _scene()
+    sc = SelfContact(mesh, meta, broadphase="grid")
+    assert sc.big is None
