@@ -187,13 +187,33 @@ class SelfContact:
 
     # -- candidate construction -------------------------------------------
 
+    def _comoving(self, disp):
+        """Subtract the mean surface-vertex displacement (see
+        build_candidates docstring: any common translation preserves the
+        pairwise sweep, and only relative motion should size the boxes)."""
+        if disp is None:
+            return None
+        return disp - jnp.mean(disp[self.mesh.surf_verts], axis=0)
+
     def build_candidates(self, x, disp=None, gap=None, with_et=True):
         """ONE fused broad phase + stencil assembly: PT and EE barrier/CCD
         candidates plus the swept edge-triangle pairs for the intersection
         failsafe, sharing the AABB computation and the triangle grid.
         gap defaults to sqrt(dHat) set by the caller; disp sweeps the AABBs
-        for CCD-covering candidate sets."""
+        for CCD-covering candidate sets.
+
+        The sweep runs in the CO-MOVING frame: pairwise min distance along
+        synchronized motion x_i + t*d_i vs x_j + t*d_j is invariant under
+        subtracting ANY common vector m from every displacement, so boxes
+        swept by (d_i - mean) still cover every reachable pair while only
+        growing with motion RELATIVE to the mean. Without this, uniform
+        free-fall (12_matOnBoard) inflates every swept AABB by |v dt|,
+        the shared cell grows with it, and the falling sheets collapse
+        into a few buckets (grid_K regrew to 28790 / 10.8 GB of tables).
+        Analytic half-space contacts never use this grid, so absolute
+        motion is not lost."""
         mesh = self.mesh
+        disp = self._comoving(disp)
         if self.broadphase == "grid":
             from ipc_tpu.parallel import spmd
 
@@ -318,6 +338,7 @@ class SelfContact:
 
         cap_scale statically scales the compaction capacity (the line-
         search superset is bigger than the point active set)."""
+        disp = self._comoving(disp)  # travel bound is on RELATIVE approach
         d_pt, d_ee = SC.active_dist2(x, cand.pt_vids, cand.ee_vids)
         if disp is None:
             act_pt = cand.pt_valid & (d_pt < dHat)
@@ -551,6 +572,7 @@ class SelfContact:
         failsafe: built once per Newton iteration, the per-trial predicate
         is then O(pairs) (vs a full broad phase per line-search trial)."""
         mesh = self.mesh
+        disp = self._comoving(disp)
         if self.broadphase == "grid":
             pairs, count, _ = SH.et_candidates(
                 x, mesh.surf_edges, mesh.surf_tris, self.cap_et, disp=disp,

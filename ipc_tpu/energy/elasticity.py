@@ -291,7 +291,18 @@ def _elem_energy(x4, rest_inv, vol, mu, lam, model):
 
 
 def _gather(x, tets):
-    return x[tets]  # (T,4,3)
+    # Under an active device mesh, pin the gathered per-tet corner tensor
+    # to a leading-axis (tet) sharding: the tet index array is baked into
+    # the executable as a replicated constant, so without the constraint
+    # XLA's partitioner REPLICATES the whole downstream per-tet pipeline —
+    # the (T,12,12)/(T,36,4)/(T,9,9) Hessian intermediates dominated the
+    # per-partition temp footprint at 96K tets (202 MB/device at n=8,
+    # MULTICHIP_SCALE_r4). With the constraint every per-tet intermediate
+    # lives T/n per device and the vertex scatter-adds become partial-sum
+    # + psum, the scaling-book SpMV recipe.
+    from ipc_tpu.parallel.spmd import constrain
+
+    return constrain(x[tets])  # (T,4,3)
 
 
 def elasticity_energy(x, mesh, model="NH"):

@@ -667,8 +667,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             # inflates the shared grid cell until one bucket holds most
             # primitives (mat100x100 regrew to a 330 GB request,
             # BATTERY_r3.json). A 16-voxel max-travel rule additionally
-            # bounds single-outlier sweeps a mean cannot see.
-            p_sv_abs = jnp.abs(dx[sv])
+            # bounds single-outlier sweeps a mean cannot see. Measured in
+            # the CO-MOVING frame (see SelfContact.build_candidates): the
+            # broad phase subtracts the mean displacement, so a rigid
+            # common motion neither inflates the grid nor costs step size.
+            p_sv = dx[sv]
+            p_sv_abs = jnp.abs(p_sv - jnp.mean(p_sv, axis=0))
             span = alpha0 * p_sv_abs.mean() / voxel
             alpha1 = jnp.where(span > 1.0, alpha0 / span, alpha0)
             alpha1 = jnp.minimum(
@@ -916,7 +920,9 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             script_scale = jnp.minimum(
                 script_scale, EL.filter_step_size(x_s, disp, mesh, p.model)
             )
-            d_sv_abs = jnp.abs(disp[sv])
+            # co-moving magnitude, like the Newton-direction clamp above
+            d_sv = disp[sv]
+            d_sv_abs = jnp.abs(d_sv - jnp.mean(d_sv, axis=0))
             span = script_scale * d_sv_abs.mean() / voxel
             script_scale = jnp.where(
                 span > 1.0, script_scale / span, script_scale

@@ -43,8 +43,21 @@ def make_gather_sum(ids, n_out):
             table[k, slot[k]] = i
             slot[k] += 1
     table_j = jnp.asarray(table)
+    ids_j = jnp.asarray(np.where(ids < n_out, ids, n_out).astype(np.int32))
 
     def apply(vals):
+        from ipc_tpu.parallel.spmd import active_mesh
+
+        if active_mesh() is not None:
+            # Under SPMD the (n_out, D, ...) gather table expands the
+            # input D-fold and XLA all-reduces that expansion (55 MB/device
+            # for the 96K-tet coarse assembly); the scatter-add form keeps
+            # the input sharded — each device scatters ITS rows into a
+            # local partial and the partitioner psums only the n_out-sized
+            # output. Single-chip keeps the gather-sum (serialized scatter
+            # is 15-30 cycles/row on TPU).
+            out = jnp.zeros((n_out + 1,) + vals.shape[1:], vals.dtype)
+            return out.at[ids_j].add(vals)[:n_out]
         pad = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
         ext = jnp.concatenate([vals, pad], axis=0)
         return ext[table_j].sum(axis=1)

@@ -308,8 +308,11 @@ class IPCStepper:
         direction) inflates the shared grid cell until one bucket holds
         most primitives (the mat100x100 330 GB failure, BATTERY_r3.json).
         A max-travel rule (16 voxels) additionally bounds single-outlier
-        sweeps that a mean can't see. Returns (alpha, clamped?)."""
-        p_sv = np.abs(np.asarray(dx)[np.asarray(self._sv)])
+        sweeps that a mean can't see. Measured in the CO-MOVING frame
+        (SelfContact.build_candidates subtracts the mean displacement), so
+        rigid common motion costs no step size. Returns (alpha, clamped?)."""
+        p_sv = np.asarray(dx)[np.asarray(self._sv)]
+        p_sv = np.abs(p_sv - p_sv.mean(axis=0))
         pSize = float(p_sv.mean())  # sum |components| / (nSV * 3)
         clamped = False
         span = alpha * pSize / self.voxel

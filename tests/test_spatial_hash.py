@@ -220,3 +220,42 @@ def test_classify_big():
     mesh, meta = _scene()
     sc = SelfContact(mesh, meta, broadphase="grid")
     assert sc.big is None
+
+
+# ---------------------------------------------------------------------------
+# co-moving-frame sweep (common translation invariance)
+# ---------------------------------------------------------------------------
+
+
+def test_comoving_sweep_invariance():
+    """SelfContact candidates are unchanged when a common translation is
+    added to the sweep displacement (pairwise swept proximity only depends
+    on relative motion), and a pure rigid fall produces the same candidate
+    set as no sweep at all — the 12_matOnBoard grid blow-up class."""
+    from ipc_tpu.contact.pipeline import SelfContact
+
+    mesh, meta = _scene()
+    sc = SelfContact(mesh, meta, broadphase="grid")
+    x = mesh.x_rest
+    rng = np.random.default_rng(7)
+    disp = jnp.asarray(rng.uniform(-0.02, 0.02, x.shape))
+    shift = jnp.asarray([13.0, -4.0, 9.0])
+
+    def key(cand):
+        pt = np.asarray(cand.pt_vids)[np.asarray(cand.pt_valid)]
+        ee = np.asarray(cand.ee_vids)[np.asarray(cand.ee_valid)]
+        return (
+            set(map(tuple, pt)),
+            set(map(tuple, ee)),
+            _pairset(cand.et_pairs[np.asarray(cand.et_valid)]),
+        )
+
+    gap = 0.02
+    a = key(sc.build_candidates(x, disp, gap))
+    b = key(sc.build_candidates(x, disp + shift[None, :], gap))
+    assert a == b
+    # rigid fall == static build
+    fall = jnp.broadcast_to(jnp.asarray([0.0, -50.0, 0.0]), x.shape)
+    c = key(sc.build_candidates(x, fall, gap))
+    d = key(sc.build_candidates(x, jnp.zeros_like(x), gap))
+    assert c == d
