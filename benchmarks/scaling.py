@@ -90,8 +90,13 @@ def run_size(n_cells, steps, dtype, settle=0):
         **cost,
     )
     if cost.get("bytes_accessed_per_step"):
+        # logical bytes (XLA cost model), NOT DRAM traffic: fused
+        # intermediates are counted even though they never leave VMEM, so
+        # this rate can exceed physical HBM peak and must not be read as
+        # achieved bandwidth (round-4 review: 1011 "GB/s" on an 819 GB/s
+        # part)
         achieved = cost["bytes_accessed_per_step"] / (wall / steps)
-        rec["achieved_gbytes_per_sec"] = round(achieved / 1e9, 1)
+        rec["logical_gbytes_per_sec_xla_cost_model"] = round(achieved / 1e9, 1)
     return rec
 
 

@@ -159,6 +159,7 @@ class SelfContact:
         import numpy as np
 
         xr = np.asarray(mesh.x_rest)
+        dbc = np.asarray(mesh.dbc_mask)
 
         def extents(prims):
             P = xr[np.maximum(prims, 0)]  # (N,k,3); sentinel rows degenerate
@@ -171,9 +172,25 @@ class SelfContact:
             ids = mask = None
             if prims.shape[0]:
                 ext = extents(prims)
-                thr = self.BIG_FACTOR * max(float(np.median(ext)), 1e-30)
+                # threshold against the DEFORMABLE (non-DBC) extent
+                # distribution: oversized kinematic prims must not inflate
+                # the median they are classified against (a scene where
+                # obstacle prims outnumber deformable ones would otherwise
+                # classify nothing)
+                free = ~dbc[np.maximum(prims, 0)].all(axis=1)
+                ref_ext = ext[free] if free.any() else ext
+                thr = self.BIG_FACTOR * max(float(np.median(ref_ext)), 1e-30)
                 sel = np.nonzero(ext > thr)[0]
                 if sel.size > self.BIG_MAX:
+                    import warnings
+
+                    dropped = sel.size - self.BIG_MAX
+                    warnings.warn(
+                        f"big-prim dense sweep: {name} truncated to the "
+                        f"largest {self.BIG_MAX} of {sel.size} qualifying "
+                        f"prims ({dropped} oversized prims stay in the "
+                        f"hash grid and may still inflate the shared cell)"
+                    )
                     sel = sel[np.argsort(ext[sel])[-self.BIG_MAX:]]
                 if sel.size:
                     any_big = True
@@ -218,6 +235,16 @@ class SelfContact:
             from ipc_tpu.parallel import spmd
 
             dev_mesh = spmd.active_mesh()
+            if dev_mesh is not None and self.big is not None \
+                    and not getattr(self, "_warned_spmd_fallback", False):
+                import warnings
+
+                self._warned_spmd_fallback = True
+                warnings.warn(
+                    "SPMD broad phase: scene has oversized prims (dense "
+                    "big sweep); falling back to the replicated broad "
+                    "phase — per-device transient memory is NOT reduced"
+                )
             if dev_mesh is not None and self.big is None:
                 # sharded broad phase: build + query transients live 1/n
                 # per device (fused_candidates_spmd docstring). Scenes with

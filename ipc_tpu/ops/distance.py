@@ -213,8 +213,18 @@ def dtype_EE(a0, a1, b0, b1):
       0 = PP a0b0, 1 = PP a0b1, 2 = PE a0-(b0,b1),
       3 = PP a1b0, 4 = PP a1b1, 5 = PE a1-(b0,b1),
       6 = PE b0-(a0,a1), 7 = PE b1-(a0,a1), 8 = interior EE.
-    Includes the reference's nearly-parallel deflection (cross norm
-    < 1e-20*|u|^2*|v|^2 pushes the interior case onto an edge endpoint).
+    Includes the reference's nearly-parallel deflection (cross norm below
+    a threshold * |u|^2*|v|^2 pushes the interior case onto an edge
+    endpoint). The threshold is DTYPE-AWARE: the reference's 1e-20
+    (MeshCollisionUtils.hpp:2075) is an f64 fp guard that f32 can never
+    reach — structured-grid scenes hold edge pairs parallel to ~1e-5 rad
+    whose interior-EE formula is pure cancellation noise in f32 (d^2 came
+    out ~0 for pairs 0.7 grid spacings apart, activating the barrier on
+    far pairs and NaN-ing its gradient: the 12_matOnBoard first-step
+    failure). At sin^2(theta) < 1e-6 the PE/PP distance differs from the
+    true EE distance by O(theta^2) and the parallel-EE mollifier has
+    already suppressed the EE barrier, so deflection is both accurate and
+    consistent.
     """
     u = a1 - a0
     v = b1 - b0
@@ -230,7 +240,8 @@ def dtype_EE(a0, a1, b0, b1):
     tN_mid = a * e - b * d
 
     uxv = jnp.cross(u, v)
-    para = (jnp.dot(uxv, w) == 0.0) | (jnp.dot(uxv, uxv) < 1e-20 * a * c)
+    para_eps = 1e-20 if jnp.result_type(a0) == jnp.float64 else 1e-6
+    para = (jnp.dot(uxv, w) == 0.0) | (jnp.dot(uxv, uxv) < para_eps * a * c)
     # interior-s case with parallel deflection
     mid_deflect = (tN_mid > 0.0) & (tN_mid < D) & para
     mid_low = mid_deflect & (sN < D / 2)

@@ -9,6 +9,11 @@ rows that touch it, and sum them with one static gather + a dense axis
 reduction. Exact same arithmetic values and a fixed summation order
 (deterministic), at VPU gather/add speed.
 
+Under an active SPMD mesh the gather table would expand sharded rows, so
+that branch falls back to `out.at[ids].add(vals)`: still run-to-run
+deterministic, but its float reduction order differs from the single-chip
+gather-sum (bitwise results can differ across chip counts).
+
 The reference's analog is its CSR outer-index precomputation
 (reference: src/LinSysSolver/LinSysSolver.hpp:331-449 builds the sparse
 pattern once and TBB-reduces into it); this is the fixed-shape TPU version.

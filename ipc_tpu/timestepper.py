@@ -1284,7 +1284,11 @@ class IPCStepper:
         self.mesh = dataclasses.replace(self.mesh, dbc_mask=jnp.asarray(mask))
         self._dbc_sv = self.mesh.dbc_mask[self.mesh.surf_verts]
         if self.sc is not None:
-            self.sc.mesh = self.mesh
+            # rebind (not plain assignment) keeps the invariant that the
+            # static big-prim classification is redone whenever the
+            # pipeline's mesh is replaced; geometry arrays are unchanged
+            # here so the reclassification is cheap and identical
+            self.sc.rebind_mesh(self.mesh)
         self._build_kernels()
 
     def _solve_mdbc_al(self, x, state, mdbc_targets, kappa, dHat, fric, stats,

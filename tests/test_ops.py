@@ -420,3 +420,60 @@ class TestFriction:
 
         g = jax.grad(dist_ee)(gamma)
         np.testing.assert_allclose(g, 0.0, atol=1e-9)
+
+
+class TestNearParallelEEF32:
+    """Regression: near-parallel f32 edge pairs must never classify as
+    interior EE (dtype-aware deflection threshold, ops/distance.py
+    dtype_EE). Structured-grid scenes hold edge pairs parallel to ~1e-5
+    rad; the interior-EE formula is cancellation noise there in f32 —
+    12_matOnBoard's first jitted step saw d^2 ~ 0 for pairs 0.7 grid
+    spacings apart, activated the barrier on them, and NaN'd its
+    gradient (which then NaN'd the swept broad phase into a one-bucket
+    19188-prim collapse misdiagnosed as a capacity failure)."""
+
+    def _pair(self):
+        # two collinear-ish edges of length h, offset 0.7h sideways,
+        # tilted by 1e-5 rad, coordinates O(0.3) like the scene
+        h = 0.0128
+        base = np.array([0.3, 0.8, 0.25], np.float32)
+        a0 = base
+        a1 = base + np.array([h, 0, 0], np.float32)
+        off = np.array([0.35 * h, 0.7 * h, 0], np.float32)
+        tilt = np.array([0, 1e-5 * h, 0], np.float32)
+        b0 = base + off
+        b1 = base + off + np.array([h, 0, 0], np.float32) + tilt
+        return map(jnp.asarray, (a0, a1, b0, b1))
+
+    def test_not_interior_ee(self):
+        from ipc_tpu.ops import distance as D
+
+        a0, a1, b0, b1 = self._pair()
+        dt = int(D.dtype_EE(a0, a1, b0, b1))
+        assert dt != 8
+
+    def test_distance_accurate_under_jit(self):
+        from ipc_tpu.ops import distance as D
+
+        a0, a1, b0, b1 = self._pair()
+        d_eager = float(D.edge_edge_dist2(a0, a1, b0, b1))
+        d_jit = float(jax.jit(D.edge_edge_dist2)(a0, a1, b0, b1))
+        # true separation ~ |off| (sideways); both paths must agree and
+        # neither may collapse toward zero
+        true = float(np.sum(np.asarray([0.35 * 0.0128, 0.7 * 0.0128, 0]) ** 2))
+        assert d_jit > 0.25 * true
+        np.testing.assert_allclose(d_jit, d_eager, rtol=1e-3)
+
+    def test_pair_energy_grad_finite_under_jit(self):
+        from ipc_tpu.contact import selfcollision as SC
+
+        a0, a1, b0, b1 = self._pair()
+        x4 = jnp.stack([a0, a1, b0, b1])
+        eps_x = jnp.float32(1e-3 * (0.0128**2) ** 2)
+        # dHat ABOVE the garbage-zero distance but below the true one
+        dHat = jnp.float32(1.25e-6)
+        g = jax.jit(jax.grad(SC.ee_pair_energy))(x4, eps_x, dHat)
+        assert bool(jnp.isfinite(g).all())
+        # barrier must be inactive at the true distance
+        e = float(jax.jit(SC.ee_pair_energy)(x4, eps_x, dHat))
+        assert e == 0.0

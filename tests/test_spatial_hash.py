@@ -214,12 +214,33 @@ def test_big_prim_et_candidates_parity():
 
 def test_classify_big():
     """SelfContact's static classification: None on uniform scenes, the
-    obstacle prims on mixed ones."""
+    obstacle prims on mixed ones (positive selection exercised against
+    the quad-augmented arrays, ids/mask consistency included)."""
+    from types import SimpleNamespace
+
     from ipc_tpu.contact.pipeline import SelfContact
 
     mesh, meta = _scene()
     sc = SelfContact(mesh, meta, broadphase="grid")
     assert sc.big is None
+
+    # mixed scene: the giant kinematic quad's prims — and only those —
+    # must classify as big, regardless of how many there are relative to
+    # the deformable population (the median is taken deformable-only)
+    x, sv, se, st, dbc, expect = _big_arrays()
+    aug = SimpleNamespace(
+        x_rest=x, surf_verts=sv, surf_edges=se, surf_tris=st, dbc_mask=dbc
+    )
+    big = SelfContact._classify_big(sc, aug)
+    assert big is not None
+    assert np.array_equal(np.asarray(big["tri_ids"]),
+                          np.asarray(expect["tri_ids"]))
+    assert np.array_equal(np.asarray(big["edge_ids"]),
+                          np.asarray(expect["edge_ids"]))
+    for kind in ("tri", "edge"):
+        ids = np.asarray(big[kind + "_ids"])
+        mask = np.asarray(big[kind + "_mask"])
+        assert mask.sum() == ids.size and mask[ids].all()
 
 
 # ---------------------------------------------------------------------------
