@@ -31,6 +31,15 @@ Solver variants (3rd arg, default "sparse"):
 Run: python benchmarks/baseline_proxy.py [n_cells] [n_steps] [linsys]
 Prints one JSON line with steps/s + iters/s; paste the result into
 BASELINE.md and bench.py.
+
+4th arg `max_iters=N` caps the Newton loop at N iterations per step —
+the per-NEWTON-ITERATION measurement mode for target scale (96K tets,
+n_cells=20), where a full f64 step on this 1-core host cannot finish in
+any practical budget (the round-4 2-hour attempt produced nothing). The
+first step pays the eager-kernel compiles; the second step's wall / N is
+the hot sec-per-Newton-iteration, the denominator BASELINE.md's >=5x
+target names. Convergence is NOT reached in N iterations — irrelevant,
+since the metric is per-iteration cost of the same loop body.
 """
 
 import json
@@ -45,6 +54,10 @@ def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     linsys = sys.argv[3] if len(sys.argv) > 3 else "sparse"
+    max_iters = 0
+    for a in sys.argv[4:]:
+        if a.startswith("max_iters="):
+            max_iters = int(a.split("=")[1])
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -62,11 +75,18 @@ def main():
     import dataclasses
 
     stepper.p = dataclasses.replace(stepper.p, linsys=linsys)
+    if max_iters:
+        stepper.p = dataclasses.replace(stepper.p, max_newton=max_iters)
     stepper._build_kernels()
 
     state = stepper.initial_state()
     # warmup one step (compile)
+    t0 = time.perf_counter()
     state, stats = stepper.step(state)
+    warm_s = time.perf_counter() - t0
+    warm_iters = stats.iters
+    print(json.dumps({"warmup_sec": round(warm_s, 1),
+                      "warmup_iters": warm_iters}), flush=True)
 
     total_iters = 0
     t0 = time.perf_counter()
@@ -88,6 +108,8 @@ def main():
                 "steps_per_sec": round(n_steps / dt, 5),
                 "newton_iters_per_sec": round(total_iters / dt, 4),
                 "sec_per_step": round(dt / n_steps, 4),
+                "sec_per_newton_iter": round(dt / max(total_iters, 1), 4),
+                "max_iters_cap": max_iters or None,
             }
         )
     )

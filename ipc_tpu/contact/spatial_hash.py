@@ -220,12 +220,17 @@ _TILE_ELEMS = 1 << 22
 
 
 def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn, q_motion=None,
-                 gap=0.0):
+                 gap=0.0, t_off=0):
     """Candidate mask for ONE block of query rows.
 
     q_boxes (B,2,3); q_rows (B,) GLOBAL row ids handed to valid_fn. Returns
     (mask (B,row_cap) bool, t_idx (B,row_cap) int32, row_overflow scalar:
     the K' needed so 3K' covers the fullest row).
+
+    t_off: global row id of the grid's target row 0 — nonzero when the
+    table indexes a SHARD of the target primitives (the SPMD ring query,
+    fused_candidates_spmd); payload gathers stay local, while valid_fn
+    and the emitted t ids see global rows.
 
     q_motion: optional (raw_boxes (B,2,3), u (B,3), w (B,)) query-side
     prim_motion(); requires the grid built with matching target motion
@@ -270,7 +275,7 @@ def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn, q_motion=None,
     # read-cell coords of the compacted slots: slot s read corner s // K
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     corner_rep = corner[rows, sidx // K]  # (B,row_cap,3)
-    t_idx = jnp.maximum(cand, 0)
+    t_idx = jnp.maximum(cand, 0) + t_off
     # ONE wide row gather fetches everything about each candidate target
     # (empty slots read the sentinel row, whose cells never match)
     pay = grid.payload[jnp.where(cand >= 0, cand, grid.payload.shape[0] - 1)]
@@ -327,7 +332,7 @@ def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn, q_motion=None,
 
 
 def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS,
-                q_row0=0, q_motion=None, gap=0.0):
+                q_row0=0, q_motion=None, gap=0.0, t_off=0):
     """Candidate (q, t) pairs whose exact AABBs overlap, each exactly once.
 
     valid_fn(q_rows (B,), t_ids (B,3K), extra (B,3K,E)) -> bool mask of
@@ -350,7 +355,7 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS,
     if Q * slots <= 2 * tile_elems:
         q_rows = jnp.arange(Q, dtype=jnp.int32)
         mask, t_idx, row_ov = _query_block(
-            grid, q_boxes, q_rows, valid_fn, q_motion, gap
+            grid, q_boxes, q_rows, valid_fn, q_motion, gap, t_off
         )
         count = mask.sum(dtype=jnp.int32)
         # 1D nonzero: a 2D nonzero scatters one coordinate array PER OUTPUT
@@ -399,7 +404,8 @@ def query_pairs(grid: HashGrid, q_boxes, valid_fn, cap, tile_elems=_TILE_ELEMS,
             else tuple(jax.lax.dynamic_slice_in_dim(a, start, QB) for a in qm)
         )
         q_rows = start + jnp.arange(QB, dtype=jnp.int32)
-        mask, t_idx, ov = _query_block(grid, blk, q_rows, valid_fn, mblk, gap)
+        mask, t_idx, ov = _query_block(grid, blk, q_rows, valid_fn, mblk, gap,
+                                       t_off)
         mask = mask & (q_rows < Q)[:, None]
         cnt = mask.sum(dtype=jnp.int32)
         (flat,) = jnp.nonzero(mask.reshape(-1), size=tile_cap, fill_value=-1)
@@ -908,17 +914,22 @@ def fused_candidates_spmd(device_mesh, axis, x, surf_verts, surf_edges,
     sharded surface primitives"; the reference's analog is TBB threads
     over dynamic per-voxel lists, src/Utils/SpatialHash.hpp:46-201).
 
-    Decomposition:
+    Decomposition (distributed table, ring query — round 5; the round-4
+    design all-gathered the per-shard tables into an (H+1, n*K) merged
+    table on EVERY device, so the dominant broad-phase transient did not
+    shrink with n — the round-4 review's 1.06x temp finding):
       * each device builds a bucket table over ITS shard of the target
-        primitives (same hash space H, same grid geometry via pmin/pmax),
-        entries globalized by the shard's row offset;
-      * the per-shard (H+1, K) tables are all-gathered along the BUCKET-
-        CAPACITY axis — the concatenation is a valid table of capacity
-        n*K, so no cross-device slot allocation is needed;
-      * packed payload rows are all-gathered (rows = global prim ids);
-      * each device then runs the chunked canonical-cell query for ITS
-        shard of the query primitives against the merged table, emitting
-        into a local (cap/n, 2) output with GLOBAL row ids.
+        primitives (same hash space H, same grid geometry via pmin/pmax);
+        table entries index the LOCAL payload, which travels with it;
+      * n ring rounds: every device queries ITS query-prim shard against
+        the currently-visiting (table, payload) shard — emitted t ids are
+        globalized by the visiting shard's row offset (t_off) — then
+        ppermutes the shard to the next device. After n rounds each
+        device has tested its queries against every target exactly once;
+      * per-round hits append into the device's (cap/n, 2) output
+        (append_pairs running offset).
+    Per-device transients are now O(table/n + payload/n + query tile +
+    cap/n) — nothing holds the whole table or payload.
 
     K is the PER-SHARD bucket capacity here, and the overflow channel
     reports per-shard occupancy — the pipeline's grid_K regrow protocol
@@ -974,46 +985,77 @@ def fused_candidates_spmd(device_mesh, axis, x, surf_verts, surf_edges,
         origin = jax.lax.pmin(origin_loc, axis)
         geom = (origin, cell)
 
-        def merged_grid(boxes, H, extra, n_loc, motion):
-            g = build_grid(boxes, H, K, geom=geom, extra=extra, motion=motion)
-            off = me * n_loc
-            table = jnp.where(g.table >= 0, g.table + off, -1)
-            table = jax.lax.all_gather(table, axis, axis=1, tiled=True)
-            pay = jax.lax.all_gather(g.payload[:-1], axis, axis=0, tiled=True)
-            pay = jnp.concatenate([pay, g.payload[-1:]], axis=0)
-            ov = jax.lax.pmax(g.overflow, axis)
-            return HashGrid(table, pay, origin, cell, H, n * K, ov)
+        tri_g = build_grid(tb, H_tri, K, geom=geom,
+                           extra=_tri_extra(st, None, t_dbc), motion=tm)
+        edge_g = build_grid(eb, H_edge, K, geom=geom,
+                            extra=_edge_extra(se, None, e_dbc), motion=em)
+        build_ov = jax.lax.pmax(
+            jnp.maximum(tri_g.overflow, edge_g.overflow), axis
+        )
 
-        tri_grid = merged_grid(tb, H_tri, _tri_extra(st, None, t_dbc), S_loc, tm)
-        edge_grid = merged_grid(eb, H_edge, _edge_extra(se, None, e_dbc), E_loc, em)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        pt_valid_fn = _pt_valid(sv, None, v_dbc=v_dbc)
+        ee_valid_fn = _ee_valid(se, None, e_dbc=e_dbc, q_off=me * E_loc)
+        et_valid_fn = _et_valid(se, None, e_dbc=e_dbc)
+
+        def round_body(r, c):
+            (t_tab, t_pay, e_tab, e_pay,
+             pt_pairs, pt_c, ee_pairs, ee_c, et_pairs, et_c, ov) = c
+            # owner of the visiting shard: tables rotate forward, so after
+            # r hops device `me` holds the shard built by (me - r) mod n
+            src = (me - r) % n
+            tri_grid = HashGrid(t_tab, t_pay, origin, cell, H_tri, K, 0)
+            edge_grid = HashGrid(e_tab, e_pay, origin, cell, H_edge, K, 0)
+            p, cnt, o1 = query_pairs(
+                tri_grid, vb, pt_valid_fn, cap_pt_loc,
+                q_row0=me * V_loc, q_motion=vm, gap=gap, t_off=src * S_loc,
+            )
+            pt_pairs, pt_c = append_pairs(pt_pairs, pt_c, cap_pt_loc, p, cnt)
+            p, cnt, o2 = query_pairs(
+                edge_grid, eb, ee_valid_fn, cap_ee_loc,
+                q_row0=me * E_loc, q_motion=em, gap=gap, t_off=src * E_loc,
+            )
+            ee_pairs, ee_c = append_pairs(ee_pairs, ee_c, cap_ee_loc, p, cnt)
+            if with_et:
+                p, cnt, o3 = query_pairs(
+                    tri_grid, eb, et_valid_fn, cap_et_loc,
+                    q_row0=me * E_loc, q_motion=em, gap=gap,
+                    t_off=src * S_loc,
+                )
+                et_pairs, et_c = append_pairs(
+                    et_pairs, et_c, cap_et_loc, p, cnt
+                )
+            else:
+                o3 = jnp.asarray(0, jnp.int32)
+            ov = jnp.maximum(ov, jnp.maximum(o1, jnp.maximum(o2, o3)))
+            t_tab = jax.lax.ppermute(t_tab, axis, perm)
+            t_pay = jax.lax.ppermute(t_pay, axis, perm)
+            e_tab = jax.lax.ppermute(e_tab, axis, perm)
+            e_pay = jax.lax.ppermute(e_pay, axis, perm)
+            return (t_tab, t_pay, e_tab, e_pay,
+                    pt_pairs, pt_c, ee_pairs, ee_c, et_pairs, et_c, ov)
+
+        init = (
+            tri_g.table, tri_g.payload, edge_g.table, edge_g.payload,
+            jnp.full((cap_pt_loc, 2), -1, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.full((cap_ee_loc, 2), -1, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.full((cap_et_loc, 2), -1, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        out = jax.lax.fori_loop(0, n, round_body, init)
+        (_, _, _, _,
+         pt_pairs, pt_c, ee_pairs, ee_c, et_pairs, et_c, q_ov) = out
 
         def counts(c_loc):
             return jnp.maximum(
                 jax.lax.psum(c_loc, axis), n * jax.lax.pmax(c_loc, axis)
             )
 
-        pt_pairs, pt_c, ov1 = query_pairs(
-            tri_grid, vb, _pt_valid(sv, None, v_dbc=v_dbc), cap_pt_loc,
-            q_row0=me * V_loc, q_motion=vm, gap=gap,
-        )
-        ee_pairs, ee_c, ov2 = query_pairs(
-            edge_grid, eb,
-            _ee_valid(se, None, e_dbc=e_dbc, q_off=me * E_loc), cap_ee_loc,
-            q_row0=me * E_loc, q_motion=em, gap=gap,
-        )
-        if with_et:
-            et_pairs, et_c, _ = query_pairs(
-                tri_grid, eb, _et_valid(se, None, e_dbc=e_dbc), cap_et_loc,
-                q_row0=me * E_loc, q_motion=em, gap=gap,
-            )
-        else:
-            et_pairs = jnp.full((cap_et_loc, 2), -1, jnp.int32)
-            et_c = jnp.asarray(0, jnp.int32)
         return (
             pt_pairs, counts(pt_c),
             ee_pairs, counts(ee_c),
             et_pairs, counts(et_c),
-            jax.lax.pmax(jnp.maximum(ov1, ov2), axis),
+            jnp.maximum(build_ov, jax.lax.pmax(q_ov, axis)),
         )
 
     sharded = shard_map(
