@@ -102,8 +102,26 @@ def make_coarse_assembler(agg, C, dbc_mask, dtype, tets=None):
         perm_j = jnp.asarray(perm.astype(np.int32))
         ends_j = jnp.asarray(ends.astype(np.int32))
         starts_j = jnp.asarray(starts.astype(np.int32))
+        tet_cells = jnp.asarray(ids.astype(np.int32))
 
         def tet_coarse(tet_H):
+            from ipc_tpu.parallel.spmd import active_mesh
+
+            if active_mesh() is not None:
+                # SPMD: the sort+cumsum segment-sum permutes a GLOBAL
+                # (16T, 9) buffer with a static data-dependent permutation
+                # — the partitioner can only replicate + all-reduce it
+                # (measured as THE dominant per-device transient: 4 live
+                # global-size copies, the round-4 1.06x temp finding).
+                # A scatter-add keeps rows sharded by tet and psums only
+                # the (C*C, 3, 3) coarse output.
+                rows = _corner_pair_blocks(tet_H, 4, tet_free)
+                return (
+                    jnp.zeros((C * C, 3, 3), dtype)
+                    .at[tet_cells]
+                    .add(rows)
+                    .reshape(C, C, 3, 3)
+                )
             rows = _corner_pair_blocks(tet_H, 4, tet_free).reshape(-1, 9)
             rows = rows[perm_j]
             csum = jnp.concatenate(

@@ -68,7 +68,8 @@ def _check_assets(path):
         raise SkipScene(f"missing mesh asset(s) in reference checkout: {sorted(missing)}")
 
 
-def run_one(path, n_steps, budget, dtype=None, use_jit=False):
+def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
+            cap_scale=1.0):
     import numpy as np
     import jax.numpy as jnp
 
@@ -78,6 +79,21 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
     _check_assets(path)
     cfg = load_config(path)
     sim = Simulation(cfg, dtype=dtype or np.float64)
+    sc = getattr(sim.stepper, "sc", None)
+    if sc is not None and (grid_k or cap_scale != 1.0):
+        # capacity warm start: contact-dense scenes regrow caps/grid_K at
+        # contact onset, and each regrow re-traces the whole step (~2-4 min
+        # on this host) — pre-sizing from a previous run's observed needs
+        # trades a little memory for most of that compile thrash
+        if grid_k:
+            sc.grid_K = max(sc.grid_K, int(grid_k))
+        if cap_scale != 1.0:
+            sc.cap_pt = int(sc.cap_pt * cap_scale)
+            sc.cap_ee = int(sc.cap_ee * cap_scale)
+            sc.cap_et = int(sc.cap_et * cap_scale)
+            sc.cap_act_pt = int(sc.cap_act_pt * cap_scale)
+            sc.cap_act_ee = int(sc.cap_act_ee * cap_scale)
+            sc.cap_fric = int(sc.cap_fric * cap_scale)
     mesh = sim.mesh
     rec = {
         "scene": os.path.basename(path),
@@ -160,8 +176,13 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False):
             al_total += getattr(st_stats, "al_iters", 0)
         done += 1
         log_conservation(state)
-        print(f"PROG {json.dumps(dict(step=done, secs=round(time.perf_counter() - t0, 1)))}",
-              flush=True)
+        prog = dict(step=done, secs=round(time.perf_counter() - t0, 1))
+        if done % 10 == 0 or done == n_steps:
+            # carry the conservation columns in-band so a hard-killed child
+            # still leaves them in the salvaged TIMEOUT record (the 214-step
+            # dolphinFunnel run died in finalization with its trend lost)
+            prog.update(sysE=sysE, sysM=sysM, sysL=sysL)
+        print(f"PROG {json.dumps(prog)}", flush=True)
         if time.perf_counter() - t0 > budget:
             break
     secs = time.perf_counter() - t0
@@ -239,7 +260,8 @@ def _child(args):
     try:
         use_jit = args.platform == "tpu" if args.jit == "auto" else args.jit == "on"
         rec = run_one(args.one, args.steps, args.budget, dtype=dtype,
-                      use_jit=use_jit)
+                      use_jit=use_jit, grid_k=args.grid_k,
+                      cap_scale=args.cap_scale)
     except SkipScene as e:
         rec = {
             "scene": os.path.basename(args.one),
@@ -288,6 +310,16 @@ def main():
                     help="mesh-bytes threshold for --route")
     ap.add_argument("--resume", action="store_true",
                     help="skip scenes already recorded in --out")
+    ap.add_argument("--headroom", type=float, default=600.0,
+                    help="hard-kill margin past --budget for assembly, "
+                    "compiles, and the final invariant checks (the TPU "
+                    "lane's final intersection check compiles its own "
+                    "program — give it room)")
+    ap.add_argument("--grid-K", dest="grid_k", type=int, default=0,
+                    help="pre-size the broad-phase bucket capacity "
+                    "(capacity warm start: skips regrow re-traces)")
+    ap.add_argument("--cap-scale", dest="cap_scale", type=float, default=1.0,
+                    help="scale the initial candidate/active caps")
     ap.add_argument("--skip", default="",
                     help="comma-separated substrings of scene paths to "
                     "exclude (e.g. scenes already covered by another lane)")
@@ -341,12 +373,13 @@ def main():
             sys.executable, os.path.abspath(__file__), "--one", path,
             "--steps", str(args.steps), "--budget", str(args.budget),
             "--platform", platform, "--dtype", dtype, "--jit", jit,
+            "--grid-K", str(args.grid_k), "--cap-scale", str(args.cap_scale),
         ]
         rec = None
         try:
             cp = subprocess.run(
                 cmd, capture_output=True, text=True,
-                timeout=args.budget + 600,  # assembly+compile headroom
+                timeout=args.budget + args.headroom,
             )
             for line in cp.stdout.splitlines():
                 if line.startswith("RESULT "):
