@@ -111,6 +111,12 @@ def grid_geometry(*box_groups, min_cell=1e-30, excludes=None):
     for b, m in zip(box_groups, excludes):
         e = b[:, 1] - b[:, 0]
         lo = b[:, 0]
+        # a single non-finite box (NaN-poisoned iterate) must not poison
+        # the shared cell size/origin — such prims register nowhere (see
+        # build_grid) and the finite rest of the grid stays usable
+        fin = jnp.isfinite(b).all(axis=(1, 2))
+        e = jnp.where(fin[:, None], e, jnp.asarray(0.0, e.dtype))
+        lo = jnp.where(fin[:, None], lo, jnp.asarray(jnp.inf, lo.dtype))
         if m is not None:
             e = jnp.where(m[:, None], jnp.asarray(0.0, e.dtype), e)
             lo = jnp.where(m[:, None], jnp.asarray(jnp.inf, lo.dtype), lo)
@@ -176,6 +182,12 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None, motion=None,
         geom = grid_geometry(boxes, min_cell=min_cell,
                              excludes=None if exclude is None else (exclude,))
     origin, cell = geom
+    # non-finite boxes (a NaN-poisoned iterate) register nowhere: without
+    # this, floor(NaN) collapses every such prim into one bucket and the
+    # run dies with a misleading capacity-regrowth error instead of the
+    # true "non-finite state" diagnosis (two rounds of matOnBoard FAIL
+    # records said "needs the hierarchical grid" when the state was NaN)
+    bad = ~jnp.isfinite(boxes).all(axis=(1, 2))
     corner, i0, i1 = _corner_cells(boxes, origin, cell)
     h = _cell_hash(corner, H)  # (N,8)
     # dedup registrations BY HASH: two corners of one box that land in the
@@ -185,6 +197,7 @@ def build_grid(boxes, H, K, min_cell=1e-30, geom=None, extra=None, motion=None,
     first = jnp.argmax(eq, axis=2)
     keep = first == jnp.arange(8)[None, :]
     cells = jnp.where(keep, h, H)
+    cells = jnp.where(bad[:, None], H, cells)
     if exclude is not None:
         cells = jnp.where(exclude[:, None], H, cells)
     flat_h = cells.reshape(-1)
@@ -305,7 +318,10 @@ def _query_block(grid: HashGrid, q_boxes, q_rows, valid_fn, q_motion=None,
     qlo = q_boxes[:, 0].astype(jnp.float32)[:, None, :]
     qhi = q_boxes[:, 1].astype(jnp.float32)[:, None, :]
     sep = jnp.any((qlo > tbox[..., 3:6]) | (tbox[..., 0:3] > qhi), axis=2)
-    mask = (cand >= 0) & at_canon & in_spans & ~sep
+    # non-finite query boxes emit nothing (floor(NaN) cell coords are
+    # platform-defined garbage that could alias a real canonical cell)
+    q_fin = jnp.isfinite(q_boxes).all(axis=(1, 2))
+    mask = (cand >= 0) & at_canon & in_spans & ~sep & q_fin[:, None]
     W = grid.payload.shape[1]
     mask = mask & valid_fn(
         q_rows, t_idx, pay[..., 8:W - 10] if q_motion is not None else pay[..., 8:]

@@ -280,3 +280,30 @@ def test_comoving_sweep_invariance():
     c = key(sc.build_candidates(x, fall, gap))
     d = key(sc.build_candidates(x, jnp.zeros_like(x), gap))
     assert c == d
+
+
+def test_nonfinite_boxes_register_nowhere():
+    """A NaN-poisoned iterate must not collapse the grid: non-finite boxes
+    contribute neither to the cell size nor to any bucket, and non-finite
+    query rows emit nothing — so the failure surfaces downstream as
+    "non-finite state", not as a fake capacity blow-up (the matOnBoard
+    FAIL-record class)."""
+    from ipc_tpu.contact.pipeline import SelfContact
+
+    mesh, meta = _scene()
+    sc = SelfContact(mesh, meta, broadphase="grid")
+    x = mesh.x_rest
+    # finite build as reference
+    cand0 = sc.build_candidates(x, jnp.zeros_like(x), 0.02)
+    assert int(cand0.bucket_overflow) < 80
+    # poison ONE vertex -> its prims' boxes go NaN
+    xb = jnp.asarray(np.asarray(x))
+    xb = xb.at[0].set(jnp.nan)
+    cand = sc.build_candidates(xb, jnp.zeros_like(x), 0.02)
+    # the grid must not collapse into one bucket
+    assert int(cand.bucket_overflow) <= int(cand0.bucket_overflow) + 2
+    # fully-NaN sweep: every box non-finite -> empty candidate set
+    nan_disp = jnp.full_like(x, jnp.nan)
+    cand2 = sc.build_candidates(x, nan_disp, 0.02)
+    assert int(cand2.pt_count) == 0 and int(cand2.ee_count) == 0
+    assert int(cand2.bucket_overflow) == 0
