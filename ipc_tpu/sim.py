@@ -497,29 +497,38 @@ class Simulation:
         from ipc_tpu.jit_step import make_jit_step
 
         for _ in range(8):
-            grew = False
-            if int(jstats.pt_count) > sc.cap_pt:
-                sc.cap_pt = int(int(jstats.pt_count) * 1.5) + 64
-                grew = True
-            if int(jstats.ee_count) > sc.cap_ee:
-                sc.cap_ee = int(int(jstats.ee_count) * 1.5) + 64
-                grew = True
-            if int(jstats.et_count) > sc.cap_et:
-                sc.cap_et = int(int(jstats.et_count) * 1.5) + 64
-                grew = True
-            if int(jstats.bucket_overflow) > sc.grid_K:
-                sc.grid_K = int(int(jstats.bucket_overflow) * 1.5) + 8
-                grew = True
-            grew |= sc.ensure_active_cap(
-                int(jstats.active_pt_max), int(jstats.active_ee_max)
-            )
-            grew |= sc.ensure_fric_cap(int(jstats.fric_count))
-            if not grew:
+            if not self.grow_caps(jstats):
                 break
-            self._check_capacity_budget(sc)
             step_fn = make_jit_step(self.stepper, donate=False)
             state, jstats = step_fn(prev_state)
         return state, jstats, step_fn
+
+    def grow_caps(self, jstats):
+        """ONE capacity check + growth from a step's stats (the check half
+        of _regrow_and_redo, reusable by callers that batch several steps
+        between host syncs and redo a whole block on overflow). Returns
+        True when any capacity grew (the caller must re-trace)."""
+        sc = self.stepper.sc
+        grew = False
+        if int(jstats.pt_count) > sc.cap_pt:
+            sc.cap_pt = int(int(jstats.pt_count) * 1.5) + 64
+            grew = True
+        if int(jstats.ee_count) > sc.cap_ee:
+            sc.cap_ee = int(int(jstats.ee_count) * 1.5) + 64
+            grew = True
+        if int(jstats.et_count) > sc.cap_et:
+            sc.cap_et = int(int(jstats.et_count) * 1.5) + 64
+            grew = True
+        if int(jstats.bucket_overflow) > sc.grid_K:
+            sc.grid_K = int(int(jstats.bucket_overflow) * 1.5) + 8
+            grew = True
+        grew |= sc.ensure_active_cap(
+            int(jstats.active_pt_max), int(jstats.active_ee_max)
+        )
+        grew |= sc.ensure_fric_cap(int(jstats.fric_count))
+        if grew:
+            self._check_capacity_budget(sc)
+        return grew
 
     # regrown broad-phase state may not exceed this many bytes: past it the
     # scene's geometry has degenerated (e.g. one huge swept box inflating

@@ -69,7 +69,7 @@ def _check_assets(path):
 
 
 def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
-            cap_scale=1.0):
+            cap_scale=1.0, sync_every=1):
     import numpy as np
     import jax.numpy as jnp
 
@@ -156,35 +156,80 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
         sysE.append(float(f"{E:.6g}"))
         sysM.append(float(f"{float(np.linalg.norm(M)):.6g}"))
         sysL.append(float(f"{float(np.linalg.norm(L)):.6g}"))
-    for k in range(n_steps):
-        if step_fn is not None:
-            prev_state = state
-            state, jstats = step_fn(state)
-            state, jstats, step_fn = sim._regrow_and_redo(
-                prev_state, state, jstats, step_fn
-            )
-            # blocked scripted motion is completed by the device-side
-            # moving-DBC AL inside the same compiled step — no host redo
-            newton_total += int(jstats.newton_iters)
-            doublings += int(jstats.kappa_doublings)
-            al_total += int(jstats.al_iters)
-        else:
-            state, st_stats = sim.stepper.step(state)  # scripted motion inside
-            doublings += getattr(st_stats, "kappa_doublings", 0)
-            backtracks += getattr(st_stats, "intersection_backtracks", 0)
-            newton_total += getattr(st_stats, "iters", 0)
-            al_total += getattr(st_stats, "al_iters", 0)
-        done += 1
-        log_conservation(state)
+    def emit_prog():
         prog = dict(step=done, secs=round(time.perf_counter() - t0, 1))
-        if done % 10 == 0 or done == n_steps:
+        if done % 10 == 0 or done == n_steps or done % max(sync_every, 1) == 0:
             # carry the conservation columns in-band so a hard-killed child
             # still leaves them in the salvaged TIMEOUT record (the 214-step
             # dolphinFunnel run died in finalization with its trend lost)
             prog.update(sysE=sysE, sysM=sysM, sysL=sysL)
         print(f"PROG {json.dumps(prog)}", flush=True)
-        if time.perf_counter() - t0 > budget:
-            break
+
+    if step_fn is not None and sync_every > 1:
+        # device-sync amortization: through the axon tunnel every host
+        # read of a device scalar costs seconds, and the per-step loop
+        # reads counts + conservation state each step — the 36K-tet
+        # dolphinFunnel ran at ~20 s/step while the chip itself steps in
+        # well under a second. Run k steps device-side between syncs; on
+        # a (rare) capacity overflow, regrow and REDO the whole block
+        # from the last synced state (the same pre-step-redo protocol,
+        # block-granular).
+        from ipc_tpu.jit_step import make_jit_step
+
+        while done < n_steps:
+            k = min(sync_every, n_steps - done)
+            block0 = state
+            for _ in range(8):  # regrow attempts for this block
+                states, stats = [], []
+                s = block0
+                for _ in range(k):
+                    s, js = step_fn(s)
+                    states.append(s)
+                    stats.append(js)
+                # ONE sync for the whole block: check every step's counts,
+                # grow caps from all of them, and redo the block if any grew
+                overflow = False
+                for js in stats:
+                    overflow |= sim.grow_caps(js)
+                if not overflow:
+                    break
+                step_fn = make_jit_step(sim.stepper, donate=False)
+            else:
+                raise RuntimeError("capacity regrowth did not converge")
+            for s, js in zip(states, stats):
+                newton_total += int(js.newton_iters)
+                doublings += int(js.kappa_doublings)
+                al_total += int(js.al_iters)
+                done += 1
+                log_conservation(s)
+            state = states[-1]
+            emit_prog()
+            if time.perf_counter() - t0 > budget:
+                break
+    else:
+        for k in range(n_steps):
+            if step_fn is not None:
+                prev_state = state
+                state, jstats = step_fn(state)
+                state, jstats, step_fn = sim._regrow_and_redo(
+                    prev_state, state, jstats, step_fn
+                )
+                # blocked scripted motion is completed by the device-side
+                # moving-DBC AL inside the same compiled step — no host redo
+                newton_total += int(jstats.newton_iters)
+                doublings += int(jstats.kappa_doublings)
+                al_total += int(jstats.al_iters)
+            else:
+                state, st_stats = sim.stepper.step(state)  # scripted inside
+                doublings += getattr(st_stats, "kappa_doublings", 0)
+                backtracks += getattr(st_stats, "intersection_backtracks", 0)
+                newton_total += getattr(st_stats, "iters", 0)
+                al_total += getattr(st_stats, "al_iters", 0)
+            done += 1
+            log_conservation(state)
+            emit_prog()
+            if time.perf_counter() - t0 > budget:
+                break
     secs = time.perf_counter() - t0
 
     x = np.asarray(state.x)
@@ -261,7 +306,7 @@ def _child(args):
         use_jit = args.platform == "tpu" if args.jit == "auto" else args.jit == "on"
         rec = run_one(args.one, args.steps, args.budget, dtype=dtype,
                       use_jit=use_jit, grid_k=args.grid_k,
-                      cap_scale=args.cap_scale)
+                      cap_scale=args.cap_scale, sync_every=args.sync_every)
     except SkipScene as e:
         rec = {
             "scene": os.path.basename(args.one),
@@ -320,6 +365,10 @@ def main():
                     "(capacity warm start: skips regrow re-traces)")
     ap.add_argument("--cap-scale", dest="cap_scale", type=float, default=1.0,
                     help="scale the initial candidate/active caps")
+    ap.add_argument("--sync-every", dest="sync_every", type=int, default=1,
+                    help="jit lane: steps per host sync (amortizes the "
+                    "axon tunnel's multi-second device-read latency; on a "
+                    "capacity overflow the whole block is redone)")
     ap.add_argument("--skip", default="",
                     help="comma-separated substrings of scene paths to "
                     "exclude (e.g. scenes already covered by another lane)")
@@ -374,6 +423,7 @@ def main():
             "--steps", str(args.steps), "--budget", str(args.budget),
             "--platform", platform, "--dtype", dtype, "--jit", jit,
             "--grid-K", str(args.grid_k), "--cap-scale", str(args.cap_scale),
+            "--sync-every", str(args.sync_every),
         ]
         rec = None
         try:
