@@ -391,9 +391,17 @@ class SelfContact:
         ok_e = se >= 0
         ie = jnp.maximum(se, 0)
         vids_e = jnp.where(ok_e[:, None], cand.ee_vids[ie], 0)
+        from ipc_tpu.parallel.spmd import constrain
+
+        # under SPMD, pin the compacted rows to the leading-axis sharding:
+        # without this the per-pair Hessian + 12x12 eigendecomposition of
+        # the active set runs REPLICATED on every device (global static
+        # caps; seen as the dominant residual transient after the ring
+        # broad phase + sharded coarse assembly)
         return ActiveSet(
-            vids_p=vids_p, ok_p=ok_p, vids_e=vids_e, ok_e=ok_e,
-            eps_e=cand.ee_eps_x[ie], cnt_pt=cnt_pt, cnt_ee=cnt_ee,
+            vids_p=constrain(vids_p), ok_p=constrain(ok_p),
+            vids_e=constrain(vids_e), ok_e=constrain(ok_e),
+            eps_e=constrain(cand.ee_eps_x[ie]), cnt_pt=cnt_pt, cnt_ee=cnt_ee,
         )
 
     def energy_active(self, x, act: ActiveSet, kappa, dHat, df=False):
