@@ -16,20 +16,33 @@ __all__ = ["segment_triangle_intersects", "any_edge_tri_intersection"]
 
 def _orient_sign(a, b, c, d):
     """Error-filtered sign of the signed volume of tetra (a,b,c,d): 0 when
-    |det| is below a relative floating-point noise bound, so exactly
-    coplanar configurations (perturbed by rotation/transform roundoff)
-    classify as degenerate instead of flipping sign randomly. The filter
-    constant bounds the accumulated rounding of the 3x3 triple product
-    relative to its term magnitudes (the same idea as Shewchuk's static
-    filter; the reference gets this robustness from igl exact predicates /
-    CTCD tolerances)."""
+    |det| is below a floating-point noise bound, so exactly coplanar
+    configurations (perturbed by rotation/transform roundoff) classify as
+    degenerate instead of flipping sign randomly (the same idea as
+    Shewchuk's static filter; the reference gets this robustness from igl
+    exact predicates / CTCD tolerances).
+
+    The bound is POSITION-AWARE: thr = 16 eps X mpp, where X is the max
+    coordinate magnitude and mpp the largest pairwise product of the
+    difference-vector norms — the first-order det perturbation from
+    inputs rounded to +-eps*X. The previous DIFFERENCE-relative bound
+    (1e-4 * |u||v||w| in f32) over-filtered by orders of magnitude when
+    edges are short relative to the miss distance: dolphinFunnel's thin
+    fins held near-miss edge-triangle pairs whose orientation signs were
+    zeroed, the "inside" test then counted them as intersecting, the
+    scripted-drag backtracking loop saw a phantom intersection at EVERY
+    scale, and the dolphin stayed frozen for three rounds (flat sysE,
+    |v| = 0, al_iters = steps). A coordinate-scaled bound keeps exactly
+    the configurations whose sign IS rounding noise (coplanar sheets at
+    any scene scale) and nothing else."""
     u, v, w = b - a, c - a, d - a
     det = jnp.dot(jnp.cross(u, v), w)
-    scale = (
-        jnp.abs(u).max() * jnp.abs(v).max() * jnp.abs(w).max()
-    )
-    rel = 1e-11 if det.dtype == jnp.float64 else 1e-4
-    return jnp.where(jnp.abs(det) <= rel * scale, 0.0, jnp.sign(det))
+    X = jnp.max(jnp.abs(jnp.stack([a, b, c, d])))
+    um, vm, wm = jnp.abs(u).max(), jnp.abs(v).max(), jnp.abs(w).max()
+    mpp = jnp.maximum(jnp.maximum(um * vm, um * wm), vm * wm)
+    eps = 1e-15 if det.dtype == jnp.float64 else 1.2e-7
+    thr = 16.0 * eps * X * mpp
+    return jnp.where(jnp.abs(det) <= thr, 0.0, jnp.sign(det))
 
 
 def segment_triangle_intersects(p, q, a, b, c):

@@ -229,3 +229,57 @@ class TestScenes:
         over = (x2[:, 2] > 0.25) & (x2[:, 2] < 0.75)  # nodes adjacent to the crossing
         assert over.any()
         assert x2[over, 1].min() > 0.08, x2[over, 1].min()
+
+
+class TestOrientFilterScales:
+    """Regression for the position-aware orientation noise filter
+    (contact/intersection.py _orient_sign): the old difference-relative
+    bound zeroed genuine orientation signs of near-miss pairs (thin-
+    feature meshes), making the intersection failsafe report a phantom
+    hit at every line-search scale — dolphinFunnel's scripted drag was
+    backtracked to zero every step for three rounds."""
+
+    def _tri(self, s, base):
+        a = jnp.asarray([base, base, base], jnp.float32)
+        b = jnp.asarray([base + s, base, base], jnp.float32)
+        c = jnp.asarray([base, base, base + s], jnp.float32)
+        return a, b, c
+
+    def test_near_miss_is_not_intersecting(self):
+        # segment crossing the triangle's PLANE but passing OUTSIDE the
+        # triangle by ~1% of the edge length: a real orientation sign,
+        # far above f32 rounding, must NOT be filtered to zero
+        s = 0.02
+        a, b, c = self._tri(s, 0.3)
+        p = jnp.asarray([0.3 - 0.01 * s, 0.3 + 0.5 * s, 0.3 + 0.4 * s])
+        q = jnp.asarray([0.3 - 0.01 * s, 0.3 - 0.5 * s, 0.3 + 0.4 * s])
+        assert not bool(segment_triangle_intersects(p, q, a, b, c))
+
+    def test_true_crossing_detected(self):
+        s = 0.02
+        a, b, c = self._tri(s, 0.3)
+        p = jnp.asarray([0.3 + 0.2 * s, 0.3 + 0.5 * s, 0.3 + 0.2 * s])
+        q = jnp.asarray([0.3 + 0.2 * s, 0.3 - 0.5 * s, 0.3 + 0.2 * s])
+        assert bool(segment_triangle_intersects(p, q, a, b, c))
+
+    def test_coplanar_sheet_at_large_scale_stays_clean(self):
+        # flat-sheet self pairs at coordinate scale 20 (mat scenes at
+        # size 20): roundoff-perturbed coplanar configurations must keep
+        # classifying as degenerate (no random-sign phantom hits)
+        import numpy as np
+
+        base = np.float32(20.0)
+        pts = []
+        for i in range(4):
+            for j in range(4):
+                p = np.array([base + 0.2 * i, base, base + 0.2 * j],
+                             np.float32)
+                p = (p * np.float32(1.0000001)).astype(np.float32)
+                pts.append(p)
+        pts = np.stack(pts)
+        for ei in range(len(pts) - 1):
+            for t0 in range(len(pts) - 3):
+                assert not bool(segment_triangle_intersects(
+                    jnp.asarray(pts[ei]), jnp.asarray(pts[ei + 1]),
+                    jnp.asarray(pts[t0]), jnp.asarray(pts[t0 + 1]),
+                    jnp.asarray(pts[t0 + 2])))
