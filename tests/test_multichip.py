@@ -22,6 +22,7 @@ def test_entry_lowers():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip_8(monkeypatch):
     # small scene for the fast test lane; the driver runs the default
     # (n_cells=10, 12K tets) for the round artifact

@@ -50,6 +50,7 @@ def _scene():
     return mesh, meta
 
 
+@pytest.mark.slow
 def test_spmd_fused_matches_single_chip():
     mesh, meta = _scene()
     dm = make_mesh(8)
@@ -83,6 +84,7 @@ def test_spmd_fused_matches_single_chip():
         assert len(_pair_set(sp)) == min(int(rc), len(_pair_set(rp)))
 
 
+@pytest.mark.slow
 def test_spmd_fused_swept():
     """Swept (disp != 0) candidates also match — the CCD covering set."""
     mesh, meta = _scene()
