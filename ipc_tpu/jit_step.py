@@ -148,7 +148,12 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
     gsum_tet = make_gather_sum(np.asarray(mesh.tets).reshape(-1), n_verts)
     # pallas gather-free Hv kernel (f32 on a real TPU only; ops/pallas_hv)
     hv_plan = hv_prep_H = hv_rows_fn = gsum_hv = None
-    if stepper.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    import os as _os
+
+    # IPC_NO_PALLAS=1 forces the jnp Hv route — the TPU-worker-crash
+    # bisection lever (a Pallas DMA fault is one candidate cause)
+    if (stepper.dtype == jnp.float32 and jax.default_backend() == "tpu"
+            and not _os.environ.get("IPC_NO_PALLAS")):
         from ipc_tpu.ops.pallas_hv import make_hv_rows, plan_hv_blocks
 
         hv_plan = plan_hv_blocks(np.asarray(mesh.tets), n_verts)
