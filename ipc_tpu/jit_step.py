@@ -131,7 +131,8 @@ def initial_device_aux(stepper):
     return aux or None
 
 
-def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
+def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True,
+                  burst=None):
     """Build a jitted `state -> (state, JitStepStats)` for an IPCStepper.
 
     All solver semantics (objective terms, SPD blocks, ACCD, safeguards)
@@ -614,7 +615,8 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         )
 
     def newton_solve(x, x_tilde, kappa, fric, cand0, damp, fext=None,
-                     Ainv_c=None, hsD=None, al0=None):
+                     Ainv_c=None, hsD=None, al0=None, carry=None,
+                     burst=None):
         """Newton loop with candidate carrying: the swept candidate set
         built in iteration k (gap sqrt(dHat), swept along the accepted
         step) provably covers every pair within sqrt(dHat) of iterate
@@ -630,7 +632,16 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
         flips in the carry and the remaining iterations run projected."""
 
         def cond(c):
-            return (~c["done"]) & (c["k"] < max_newton)
+            go = (~c["done"]) & (c["k"] < max_newton)
+            if burst is not None:
+                # bounded-dispatch mode: the axon tunnel kills any single
+                # dispatch at ~60 s wall (measured, tools/
+                # tpu_watchdog_probe.py: a pure-matmul while_loop died at
+                # 62 s with the same UNAVAILABLE error as every contact-
+                # rich battery scene). Capping iterations per dispatch and
+                # looping on the host keeps each dispatch under the limit.
+                go = go & (c["j"] < burst)
+            return go
 
         def body(c):
             x = c["x"]
@@ -822,6 +833,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 x=_cstr(jnp.where(take, x_new, x)),
                 cand=cand_sweep,
                 dx=dx,
+                j=c["j"] + 1,
                 k=c["k"] + jnp.where(take, 1, 0),
                 done=converged | (stalled & (~al_in)),
                 n_clamps=c["n_clamps"] + (clamped & take).astype(jnp.int32),
@@ -854,6 +866,7 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             x=x,
             cand=cand0,
             dx=jnp.zeros_like(x),
+            j=jnp.asarray(0, jnp.int32),
             k=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             dist=jnp.asarray(jnp.inf, dtype),
@@ -876,11 +889,17 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
                 lastmv=jnp.asarray(0.0, dtype),
                 al_iters=jnp.asarray(0, jnp.int32),
             )
+        if carry is not None:
+            init = dict(carry, j=jnp.asarray(0, jnp.int32))
         return jax.lax.while_loop(cond, body, init)
 
     need_aux = turn is not None or hs_moving
 
-    def step(state: SimState):
+    def _prologue(state: SimState):
+        """Everything before the Newton loop: scripted motion, warm start,
+        kappa init, friction capture, candidate build. Returns the
+        (possibly script-advanced) state, aux_out, script_scale, and the
+        newton_solve argument dict."""
         if need_aux and not isinstance(state.aux, dict):
             raise ValueError(
                 "this scene carries device-script state (turning rules / "
@@ -1023,9 +1042,14 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             if lag_coarse
             else None
         )
-        out = newton_solve(
-            x0, x_tilde, kappa, fric, cand0, damp, fext, Ainv_c0, hsD, al0
+        return state, aux_out, script_scale, dict(
+            x0=x0, x_tilde=x_tilde, kappa=kappa, fric=fric, cand0=cand0,
+            damp=damp, fext=fext, Ainv_c0=Ainv_c0, hsD=hsD, al0=al0,
         )
+
+    def _epilogue(state, aux_out, script_scale, fric, out):
+        """Velocity/acceleration update + stats from the final Newton
+        carry (BE or Newmark per is_nm)."""
         x = out["x"]
         if is_nm:
             g = gravity[None, :].astype(dtype)
@@ -1064,6 +1088,40 @@ def make_jit_step(stepper, max_newton=64, max_linesearch=40, donate=True):
             sweep_clamps=out["n_clamps"],
         )
         return new_state, stats
+
+    def step(state: SimState):
+        state, aux_out, script_scale, pa = _prologue(state)
+        out = newton_solve(
+            pa["x0"], pa["x_tilde"], pa["kappa"], pa["fric"], pa["cand0"],
+            pa["damp"], pa["fext"], pa["Ainv_c0"], pa["hsD"], pa["al0"]
+        )
+        return _epilogue(state, aux_out, script_scale, pa["fric"], out)
+
+    if burst is not None:
+        # bounded-dispatch mode (see newton_solve's cond): three compiled
+        # programs + a host loop, so no single dispatch can trip the
+        # tunnel's ~60 s wall limit. The carry and argument pytrees stay
+        # on device between dispatches.
+        def begin(state: SimState):
+            state, aux_out, script_scale, pa = _prologue(state)
+            carry = newton_solve(
+                pa["x0"], pa["x_tilde"], pa["kappa"], pa["fric"],
+                pa["cand0"], pa["damp"], pa["fext"], pa["Ainv_c0"],
+                pa["hsD"], pa["al0"], burst=0,
+            )
+            return state, aux_out, script_scale, pa, carry
+
+        def run_burst(pa, carry):
+            return newton_solve(
+                carry["x"], pa["x_tilde"], carry["kappa"], pa["fric"],
+                pa["cand0"], pa["damp"], pa["fext"], pa["Ainv_c0"],
+                pa["hsD"], pa["al0"], carry=carry, burst=burst,
+            )
+
+        def finish(state, aux_out, script_scale, pa, carry):
+            return _epilogue(state, aux_out, script_scale, pa["fric"], carry)
+
+        return jax.jit(begin), jax.jit(run_burst), jax.jit(finish), max_newton
 
     if donate:
         return jax.jit(step, donate_argnums=(0,))

@@ -69,7 +69,7 @@ def _check_assets(path):
 
 
 def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
-            cap_scale=1.0, sync_every=1):
+            cap_scale=1.0, sync_every=1, burst=0):
     import numpy as np
     import jax.numpy as jnp
 
@@ -109,6 +109,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
     # this environment's TPU tunnel) with the sim loop's capacity
     # regrow-and-redo protocol; host-only scripts fall back
     step_fn = None
+    mk_step = None
     if use_jit and not (sim.script is not None and sim.script.host_only()) \
             and type(sim.stepper).__name__ == "IPCStepper":
         import dataclasses
@@ -118,8 +119,31 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
         state = dataclasses.replace(
             state, aux=initial_device_aux(sim.stepper)
         )
-        step_fn = make_jit_step(sim.stepper, donate=False)
-        rec["path"] = "jit"
+
+        def mk_step():
+            if not burst:
+                return make_jit_step(sim.stepper, donate=False)
+            # bounded-dispatch mode: the axon tunnel kills any single
+            # dispatch at ~60 s wall (out_r5/WATCHDOG_PROBE.txt), which is
+            # what every contact-rich TPU-lane "worker crashed" record
+            # was. Three compiled programs + a host loop keep each
+            # dispatch to `burst` Newton iterations.
+            begin, run_b, finish, mx = make_jit_step(
+                sim.stepper, donate=False, burst=burst
+            )
+
+            def step_burst(st):
+                s2, aux_out, ss, pa, carry = begin(st)
+                while True:
+                    carry = run_b(pa, carry)
+                    if bool(carry["done"]) or int(carry["k"]) >= mx:
+                        break
+                return finish(s2, aux_out, ss, pa, carry)
+
+            return step_burst
+
+        step_fn = mk_step()
+        rec["path"] = "jit-burst" if burst else "jit"
     else:
         rec["path"] = "host"
 
@@ -165,7 +189,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
             prog.update(sysE=sysE, sysM=sysM, sysL=sysL)
         print(f"PROG {json.dumps(prog)}", flush=True)
 
-    if step_fn is not None and sync_every > 1:
+    if step_fn is not None and (sync_every > 1 or burst):
         # device-sync amortization: through the axon tunnel every host
         # read of a device scalar costs seconds, and the per-step loop
         # reads counts + conservation state each step — the 36K-tet
@@ -174,10 +198,8 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
         # a (rare) capacity overflow, regrow and REDO the whole block
         # from the last synced state (the same pre-step-redo protocol,
         # block-granular).
-        from ipc_tpu.jit_step import make_jit_step
-
         while done < n_steps:
-            k = min(sync_every, n_steps - done)
+            k = min(max(sync_every, 1), n_steps - done)
             block0 = state
             for _ in range(8):  # regrow attempts for this block
                 states, stats = [], []
@@ -193,7 +215,7 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
                     overflow |= sim.grow_caps(js)
                 if not overflow:
                     break
-                step_fn = make_jit_step(sim.stepper, donate=False)
+                step_fn = mk_step()
             else:
                 raise RuntimeError("capacity regrowth did not converge")
             for s, js in zip(states, stats):
@@ -306,7 +328,8 @@ def _child(args):
         use_jit = args.platform == "tpu" if args.jit == "auto" else args.jit == "on"
         rec = run_one(args.one, args.steps, args.budget, dtype=dtype,
                       use_jit=use_jit, grid_k=args.grid_k,
-                      cap_scale=args.cap_scale, sync_every=args.sync_every)
+                      cap_scale=args.cap_scale, sync_every=args.sync_every,
+                      burst=args.burst)
     except SkipScene as e:
         rec = {
             "scene": os.path.basename(args.one),
@@ -369,6 +392,11 @@ def main():
                     help="jit lane: steps per host sync (amortizes the "
                     "axon tunnel's multi-second device-read latency; on a "
                     "capacity overflow the whole block is redone)")
+    ap.add_argument("--burst", type=int, default=0,
+                    help="jit lane: max Newton iterations per dispatch "
+                    "(0 = whole step in one dispatch). The axon tunnel "
+                    "kills dispatches at ~60 s wall; contact-rich scenes "
+                    "need bounded dispatches on the TPU lane")
     ap.add_argument("--skip", default="",
                     help="comma-separated substrings of scene paths to "
                     "exclude (e.g. scenes already covered by another lane)")
@@ -423,7 +451,7 @@ def main():
             "--steps", str(args.steps), "--budget", str(args.budget),
             "--platform", platform, "--dtype", dtype, "--jit", jit,
             "--grid-K", str(args.grid_k), "--cap-scale", str(args.cap_scale),
-            "--sync-every", str(args.sync_every),
+            "--sync-every", str(args.sync_every), "--burst", str(args.burst),
         ]
         rec = None
         try:
