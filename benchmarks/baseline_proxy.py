@@ -32,14 +32,20 @@ Run: python benchmarks/baseline_proxy.py [n_cells] [n_steps] [linsys]
 Prints one JSON line with steps/s + iters/s; paste the result into
 BASELINE.md and bench.py.
 
-4th arg `max_iters=N` caps the Newton loop at N iterations per step —
-the per-NEWTON-ITERATION measurement mode for target scale (96K tets,
-n_cells=20), where a full f64 step on this 1-core host cannot finish in
-any practical budget (the round-4 2-hour attempt produced nothing). The
-first step pays the eager-kernel compiles; the second step's wall / N is
-the hot sec-per-Newton-iteration, the denominator BASELINE.md's >=5x
-target names. Convergence is NOT reached in N iterations — irrelevant,
-since the metric is per-iteration cost of the same loop body.
+4th arg `max_iters=N` switches to the per-NEWTON-ITERATION measurement
+mode for target scale (96K tets, n_cells=20), where a full f64 step on
+this 1-core host cannot finish in any practical budget (the round-4
+2-hour attempt produced nothing, and capping the Newton loop at N
+iterations deadlocks the outer homotopy/friction loops, which require
+sub-solve convergence — the round-5 first attempt). Instead the
+stepper's _search_dir (constraint assembly + linear solve — the
+reference's matrixComputation + factorization + backSolve phases) is
+wrapped to TIME each call and abort the run after N of them; each
+call's wall time is printed as it lands so a timeout still leaves
+evidence. The reported sec_per_newton_iter is the mean of calls 2..N
+(call 1 pays the eager-kernel compiles). Line-search energy evaluations
+are excluded — on the reference's profile the solve dominates, so this
+denominator is conservative (favors the baseline).
 """
 
 import json
@@ -75,11 +81,63 @@ def main():
     import dataclasses
 
     stepper.p = dataclasses.replace(stepper.p, linsys=linsys)
-    if max_iters:
-        stepper.p = dataclasses.replace(stepper.p, max_newton=max_iters)
     stepper._build_kernels()
 
     state = stepper.initial_state()
+
+    if max_iters:
+        times = []
+
+        class _Done(Exception):
+            pass
+
+        def wrap_current():
+            inner = stepper._search_dir
+
+            def timed(*a, **kw):
+                t0 = time.perf_counter()
+                out = inner(*a, **kw)
+                jax.block_until_ready(out[0])
+                dt_call = time.perf_counter() - t0
+                times.append(dt_call)
+                print(json.dumps({"search_dir_call": len(times),
+                                  "sec": round(dt_call, 2)}), flush=True)
+                if len(times) >= max_iters:
+                    raise _Done()
+                return out
+
+            stepper._search_dir = timed
+
+        # cap growth re-runs _build_kernels, which reassigns _search_dir
+        # — re-apply the timing wrapper after every rebuild
+        orig_build = stepper._build_kernels
+
+        def build_and_patch():
+            orig_build()
+            wrap_current()
+
+        stepper._build_kernels = build_and_patch
+        wrap_current()
+        try:
+            stepper.step(state)
+        except _Done:
+            pass
+        hot = times[1:] if len(times) > 1 else times
+        spi = sum(hot) / len(hot)
+        print(json.dumps({
+            "proxy": f"host f64 + {linsys} search_dir per Newton iteration, CPU",
+            "linsys": linsys,
+            "n_cells": n_cells,
+            "tets": int(stepper.mesh.tets.shape[0]),
+            "calls_timed": len(times),
+            "first_call_sec_incl_compile": round(times[0], 2),
+            "sec_per_newton_iter": round(spi, 3),
+            "newton_iters_per_sec": round(1.0 / spi, 5),
+            "note": "search_dir wall time (assembly + factorize + solve); "
+                    "line-search cost excluded -> conservative denominator",
+        }), flush=True)
+        return
+
     # warmup one step (compile)
     t0 = time.perf_counter()
     state, stats = stepper.step(state)
