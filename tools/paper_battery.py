@@ -133,12 +133,22 @@ def run_one(path, n_steps, budget, dtype=None, use_jit=False, grid_k=0,
             )
 
             def step_burst(st):
-                s2, aux_out, ss, pa, carry = begin(st)
-                while True:
-                    carry = run_b(pa, carry)
-                    if bool(carry["done"]) or int(carry["k"]) >= mx:
-                        break
-                return finish(s2, aux_out, ss, pa, carry)
+                phase = ["begin"]
+                try:
+                    s2, aux_out, ss, pa, carry = begin(st)
+                    nb = 0
+                    while True:
+                        phase[0] = f"burst{nb}"
+                        carry = run_b(pa, carry)
+                        done = bool(carry["done"])  # host sync per burst
+                        nb += 1
+                        if done or int(carry["k"]) >= mx:
+                            break
+                    phase[0] = "finish"
+                    return finish(s2, aux_out, ss, pa, carry)
+                except Exception as e:
+                    # localize which dispatch killed the worker
+                    raise type(e)(f"[at {phase[0]}] {e}") from None
 
             return step_burst
 
